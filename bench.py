@@ -1,0 +1,133 @@
+"""Headline benchmark: DP-MLD flagship train throughput on one TPU chip.
+
+Replicates the reference's per-epoch cycle exactly — 2402 train samples +
+601 eval samples at batch 8 through TICA_LapDropout (BERT-base, 512 tokens,
+alternating two-optimizer scheme, stochastic eval) — and reports train
+steps/sec over the full cycle.
+
+Baseline: the reference's recorded 67.8 s/epoch on an NVIDIA GPU for the
+same cycle (301 train steps) => 4.44 steps/s
+(BASELINE.md: python/logs/compare_modal/ti/best_record.txt).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REF = os.environ.get("REFERENCE_DIR", "/root/reference")
+N_TRAIN, N_EVAL = 2402, 601  # reference dataset scale (SURVEY §6)
+BATCH = 8
+BASELINE_STEPS_PER_SEC = (N_TRAIN // BATCH + 1) / 67.8  # 301 / 67.8 = 4.44
+
+
+def load_data():
+    from eeg_multimodal_tpu.data import datasets as D
+
+    if os.path.exists(f"{REF}/feature/EEG/test_bert.pickle"):
+        tok = D.load_bert_pickle(f"{REF}/feature/EEG/test_bert.pickle")
+        emb = D.load_embedding_pickle(f"{REF}/feature/action/test_clip_v2.pickle")
+        _, labels = D.load_eeg_feature_csv(f"{REF}/feature/test_EEG.csv")
+        reps = -(-N_TRAIN // len(labels))
+        ids = np.tile(tok["input_ids"], (reps, 1))[:N_TRAIN]
+        mask = np.tile(tok["attention_mask"], (reps, 1))[:N_TRAIN]
+        embs = np.tile(emb, (reps, 1))[:N_TRAIN]
+        labs = np.tile(labels, reps)[:N_TRAIN]
+        train = D.build_pairing(
+            "ti", labs, eeg_txt={"input_ids": ids, "attention_mask": mask},
+            act_img=embs,
+        )
+        test = D.build_pairing(
+            "ti", labels, eeg_txt=tok, act_img=emb
+        )
+        return train, test
+    # synthetic fallback with identical shapes
+    rng = np.random.RandomState(0)
+
+    def synth(n):
+        ids = rng.randint(0, 30000, (n, 512)).astype(np.int32)
+        m = np.zeros((n, 512), np.int32)
+        m[:, :64] = 1
+        return D.build_pairing(
+            "ti", rng.randint(0, 2, n).astype(np.int32),
+            eeg_txt={"input_ids": ids, "attention_mask": m},
+            act_img=rng.randn(n, 512).astype(np.float32),
+        )
+
+    return synth(N_TRAIN), synth(N_EVAL)
+
+
+def main():
+    import jax
+
+    # the persistent compile cache hangs under the axon remote-compile
+    # tunnel; enable only off-tunnel
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import StepFunctions, TrainConfig
+    from eeg_multimodal_tpu.data.datasets import epoch_indices
+    from eeg_multimodal_tpu.utils.seeding import set_seed
+
+    train, test = load_data()
+    fc = fusion.config_for("ti", "lapacian_dropout")
+    tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16")
+    steps = StepFunctions(fc, tc)
+
+    key = set_seed()
+    params = fusion.init(key, fc)
+    dp_os, model_os = steps.init_opt_states(params)
+    train_dev = train.device_put()
+    test_dev = test.device_put()
+    n_steps = -(-len(train) // BATCH)
+
+    def one_epoch(params, dp_os, model_os, epoch):
+        ek = jax.random.fold_in(key, epoch)
+        k1, k2 = jax.random.split(ek)
+        idx, w = epoch_indices(k1, len(train), BATCH)
+        params, dp_os, model_os, tr_loss, _ = steps.train_epoch(
+            params, dp_os, model_os, train_dev, idx, w, 0.1, k1
+        )
+        eidx, ew = epoch_indices(k2, len(test), BATCH, shuffle=False)
+        te = steps.eval_epoch(params, test_dev, eidx, ew, 0.1, k2)
+        jax.block_until_ready((tr_loss, te[0]))
+        return params, dp_os, model_os, float(tr_loss)
+
+    # warmup (compile)
+    params, dp_os, model_os, _ = one_epoch(params, dp_os, model_os, 0)
+
+    times = []
+    for epoch in range(1, 4):
+        t0 = time.time()
+        params, dp_os, model_os, loss = one_epoch(params, dp_os, model_os, epoch)
+        times.append(time.time() - t0)
+    assert np.isfinite(loss), loss
+
+    epoch_time = float(np.median(times))
+    steps_per_sec = n_steps / epoch_time
+    print(
+        json.dumps(
+            {
+                "metric": "dpmld_flagship_train_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec (301-step train + 76-step eval epoch, batch 8, bf16, 1 chip)",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""The fusion model zoo: every model class from the reference, TPU-first.
+
+Reference inventory (python/src/custom_models/models.py):
+  TICA_LapDropout   :28   (flagship: txt+img, cross-attn, learned DP block)
+  TTCA_LapDropout   :84   (txt+txt, BERT twice, no key-padding masks)
+  ITCA_LapDropout   :130  (img+txt)
+  IICA_LapDropout   :177  (img+img, shared visual encoder, no BERT)
+  TISC_LapDropout   :220  (single-stream: TransformerEncoder over concat)
+  TICA_DPSGD        :274  (2-modal concat, no cross-attn; trained under DP-SGD)
+  TICA_NonPrivate   :309  (flagship minus DP block)
+  TISC_LapDropoutEquWeight :354 (double-stream + equal-weight DP ablation)
+Legacy heads (root scripts): ConcatModel (model.py:14-64, plain concat),
+PriConcat (main_0425.py ConcatModel: per-sample Laplace on fused features),
+PriGumbel (train_val.py:125-158: learned w + scaled Gumbel dropout + Laplace).
+
+All share one double-stream trunk (BERT / visual-encoder streams + a 3-layer
+cross-attention transformer decoder), expressed here as a single configurable
+pure function instead of eight copy-pasted classes. Params are pytrees whose
+layout mirrors the torch module names for state-dict round-tripping
+(see train/checkpoint.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import bert as bert_mod
+from . import layers as L
+from ..ops import dp as dp_ops
+
+D_MODEL = 768
+N_HEADS = 12  # ref: models.py:44 nhead=12
+N_CROSS_LAYERS = 3  # ref: models.py:45 num_layers=3
+VISUAL_IN = 512  # ref: models.py:42 nn.Linear(512, 768)
+N_CLASSES = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Static architecture switches distinguishing the reference's classes."""
+
+    name: str = "TICA_LapDropout"
+    multimodal_type: str = "ti"  # "ti" | "tt" | "it" | "ii"
+    cross_atn_type: str = "double_stream"  # or "single_stream" (TISC)
+    dp_mode: str = "lapacian_dropout"
+    # "lapacian_dropout" | "NDP" | "DPSGD" | "lapacian_dropout_equal_weight"
+    # | "feature_all_lap" (PriConcat) | "pri_gumbel" (legacy train_val head)
+    with_cross_attention: bool = True  # False for TICA_DPSGD
+    use_key_padding_masks: bool = True  # False for tt / ii (models.py:112-113)
+    dropout_rate: float = 0.5  # equal-weight ablation (base_train.py:137)
+    gumbel_tau: float = 0.1  # PriGumbel (train_val.py:95)
+    bert_coef: str = "bert-base-uncased"
+    dtype: str = "float32"  # params/compute dtype ("bfloat16" on TPU hot path)
+    # Optional BertConfig override (must keep hidden_size=768); used for
+    # small-model tests and from-scratch encoders.
+    bert_config: Optional["bert_mod.BertConfig"] = None
+
+    def bert_cfg(self):
+        return self.bert_config or bert_mod.BertConfig.for_coef(self.bert_coef)
+
+    @property
+    def n_streams_txt(self) -> int:
+        return {"ti": 1, "tt": 2, "it": 1, "ii": 0}[self.multimodal_type]
+
+    @property
+    def uses_bert(self) -> bool:
+        return self.multimodal_type != "ii"
+
+    @property
+    def uses_visual(self) -> bool:
+        return self.multimodal_type != "tt"
+
+    @property
+    def concat_width(self) -> int:
+        return (2 if not self.with_cross_attention else 3) * D_MODEL
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# Named constructors matching base_train.py:127-150's dispatch table.
+def config_for(multimodal_type: str, dp_mode: str, cross_atn_type: str = "double_stream",
+               bert_coef: str = "bert-base-uncased", dtype: str = "float32") -> FusionConfig:
+    """Mirror of the reference's model dispatch (base_train.py:127-150)."""
+    masks = multimodal_type in ("ti", "it")
+    name = {
+        ("ti", "lapacian_dropout", "double_stream"): "TICA_LapDropout",
+        ("tt", "lapacian_dropout", "double_stream"): "TTCA_LapDropout",
+        ("it", "lapacian_dropout", "double_stream"): "ITCA_LapDropout",
+        ("ii", "lapacian_dropout", "double_stream"): "IICA_LapDropout",
+        ("ti", "lapacian_dropout", "single_stream"): "TISC_LapDropout",
+        ("ti", "DPSGD", "double_stream"): "TICA_DPSGD",
+        ("ti", "NDP", "double_stream"): "TICA_NonPrivate",
+        ("ti", "lapacian_dropout_equal_weight", "double_stream"): "TISC_LapDropoutEquWeight",
+    }.get((multimodal_type, dp_mode, cross_atn_type), "custom")
+    return FusionConfig(
+        name=name,
+        multimodal_type=multimodal_type,
+        cross_atn_type=cross_atn_type,
+        dp_mode=dp_mode,
+        with_cross_attention=(dp_mode != "DPSGD"),
+        use_key_padding_masks=masks,
+        bert_coef=bert_coef,
+        dtype=dtype,
+    )
+
+
+def init(key, config: FusionConfig, bert_params=None):
+    """Initialize a fusion model's parameter pytree.
+
+    ``bert_params`` lets callers inject pretrained BERT weights (the
+    reference always starts from HF pretrained weights, models.py:40);
+    defaults to fresh HF-style init when not provided.
+    """
+    dtype = config.jnp_dtype
+    ks = jax.random.split(key, 8)
+    params = {}
+    if config.uses_bert:
+        params["bert"] = (
+            bert_params
+            if bert_params is not None
+            else bert_mod.init(ks[0], config.bert_cfg(), dtype)
+        )
+    if config.uses_visual:
+        params["visual_encoder"] = L.linear_init(ks[1], VISUAL_IN, D_MODEL, dtype)
+    if config.with_cross_attention:
+        if config.cross_atn_type == "single_stream":
+            params["cross"] = L.encoder_init(ks[2], D_MODEL, N_CROSS_LAYERS, dtype)
+        else:
+            params["cross"] = L.decoder_init(ks[2], D_MODEL, N_CROSS_LAYERS, dtype)
+    width = config.concat_width
+    params["fc1"] = L.linear_init(ks[3], width, width, dtype)
+    params["fc2"] = L.linear_init(ks[4], width, D_MODEL, dtype)
+    params["classifier"] = L.linear_init(ks[5], D_MODEL, N_CLASSES, dtype)
+    if config.dp_mode == "lapacian_dropout":
+        # learnable per-feature logits, zeros init (models.py:53)
+        params["DP"] = jnp.zeros((1, width), dtype)
+    if config.dp_mode == "pri_gumbel":
+        # legacy: w = Parameter(rand(768)) applied post-fc (train_val.py:136)
+        params["w"] = jax.random.uniform(ks[6], (D_MODEL,), dtype)
+    return params
+
+
+def _encode_streams(params, batch, config: FusionConfig, bert_cfg, keys, train):
+    """Run the two modality streams; returns (feat_a, seq_a, feat_b, seq_b).
+
+    Stream order matches the reference's argument order: stream a = eeg,
+    stream b = act. 'txt' streams go through BERT (seq + pooled), 'img'
+    streams through the shared visual encoder (models.py:59-63,198-201)."""
+    mt = config.multimodal_type
+    dtype = config.jnp_dtype
+
+    def txt(input_ids, mask, k):
+        seq, pooled = bert_mod.apply(
+            params["bert"], input_ids, mask, bert_cfg,
+            dropout_key=k if train else None,
+        )
+        return pooled, seq
+
+    def img(x, k):
+        emb = L.linear(params["visual_encoder"], x.astype(dtype))  # (B,1,768)
+        return emb[:, 0, :] if emb.ndim == 3 else emb, emb
+
+    if mt == "ti":
+        feat_a, seq_a = txt(batch["eeg_input"], batch["eeg_mask"], keys[0])
+        feat_b, seq_b = img(batch["act_input"], keys[1])
+    elif mt == "tt":
+        feat_a, seq_a = txt(batch["eeg_input"], batch["eeg_mask"], keys[0])
+        feat_b, seq_b = txt(batch["act_input"], batch["act_mask"], keys[1])
+    elif mt == "it":
+        feat_a, seq_a = img(batch["eeg_input"], keys[0])
+        feat_b, seq_b = txt(batch["act_input"], batch["act_mask"], keys[1])
+    elif mt == "ii":
+        feat_a, seq_a = img(batch["eeg_input"], keys[0])
+        feat_b, seq_b = img(batch["act_input"], keys[1])
+    else:
+        raise ValueError(f"unknown multimodal_type {mt}")
+    return feat_a, seq_a, feat_b, seq_b
+
+
+def apply(
+    params,
+    batch,  # dict: eeg_input, eeg_mask, act_input, act_mask
+    config: FusionConfig,
+    epsilon,
+    hard: bool,
+    rng: Optional[jax.Array],
+    train: bool,
+):
+    """Forward pass -> logits (B, 2).
+
+    ``rng`` seeds both nn-dropout (train only) and the DP noise (always drawn,
+    including eval — the reference's eval is stochastic, hence train.py's
+    n_eval repeated evaluation). Pass ``rng=None`` only for dp_mode='NDP'/
+    'DPSGD' at eval, where the forward is deterministic.
+    """
+    bert_cfg = config.bert_cfg()
+    dtype = config.jnp_dtype
+    if rng is not None:
+        k_bert_a, k_bert_b, k_cross, k_dp = jax.random.split(rng, 4)
+    else:
+        k_bert_a = k_bert_b = k_cross = k_dp = None
+
+    feat_a, seq_a, feat_b, seq_b = _encode_streams(
+        params, batch, config, bert_cfg, (k_bert_a, k_bert_b), train
+    )
+
+    parts = [feat_a, feat_b]
+    if config.with_cross_attention:
+        if config.cross_atn_type == "single_stream":
+            # TISC (models.py:255-258): encoder over [mean(seq_a), emb_b]
+            seq_a_mean = jnp.mean(seq_a, axis=1, keepdims=True)
+            concat_seq = jnp.concatenate([seq_a_mean, seq_b], axis=1)
+            cross = L.encoder(
+                params["cross"], concat_seq, N_HEADS,
+                dropout_key=k_cross if train else None,
+            ).mean(axis=1)
+        else:
+            # double-stream: decoder(tgt=stream_b emb, memory=stream_a seq)
+            # masks per models.py:64-67 (ti/it) or omitted (tt/ii, :112-113)
+            tgt_kpm = mem_kpm = None
+            if config.multimodal_type in ("ti", "tt"):
+                # tgt = act stream, memory = eeg stream (models.py:64-67,112-113)
+                tgt, memory = seq_b, seq_a
+                if config.use_key_padding_masks:
+                    tgt_kpm = batch["act_mask"] == 0  # torch: mask == 0
+                    mem_kpm = batch["eeg_mask"] == 0
+            else:
+                # it/ii: tgt = eeg stream (models.py:157-160,202-203)
+                tgt, memory = seq_a, seq_b
+                if config.use_key_padding_masks:
+                    tgt_kpm = batch["eeg_mask"] == 0
+                    mem_kpm = batch["act_mask"] == 0
+            cross = L.decoder(
+                params["cross"], tgt, memory, N_HEADS,
+                tgt_key_padding_mask=tgt_kpm,
+                memory_key_padding_mask=mem_kpm,
+                dropout_key=k_cross if train else None,
+            ).mean(axis=1)
+        parts.append(cross)
+
+    # post-concat fusion head stays f32 regardless of compute dtype: the DP
+    # noise statistics and min-max normalization are precision-sensitive and
+    # the (B, 2304) block is negligible next to the encoders.
+    feature = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    feature = dp_ops.minmax_normalize(feature)  # models.py:70-72
+
+    mode = config.dp_mode
+    if mode == "lapacian_dropout":
+        feature = dp_ops.lap_dropout(feature, params["DP"], epsilon, k_dp, hard)
+    elif mode == "lapacian_dropout_equal_weight":
+        # ref models.py:399-405: nn.Dropout is train-only; Laplace always on
+        k_eq_drop, k_eq_lap = jax.random.split(k_dp)
+        if train:
+            keep = 1.0 - config.dropout_rate
+            mask = jax.random.bernoulli(k_eq_drop, keep, feature.shape)
+            feature = jnp.where(mask, feature / keep, 0.0)
+        scalar_eps_hat = 1.0 / jnp.log(
+            (jnp.exp(epsilon) - config.dropout_rate) / (1.0 - config.dropout_rate)
+        )
+        noise = dp_ops.laplace_noise(
+            k_eq_lap, (feature.shape[0], 1), scale=1.0 / scalar_eps_hat, dtype=feature.dtype
+        )
+        feature = feature + noise
+    elif mode == "feature_all_lap":
+        # PriConcat (main_0425.py:111-121); minmax already applied above
+        noise = dp_ops.laplace_noise(
+            k_dp, (feature.shape[0], 1), scale=1.0 / epsilon, dtype=feature.dtype
+        )
+        feature = feature + noise
+    # "NDP", "DPSGD", "pri_gumbel": no feature DP here
+
+    h = jax.nn.relu(L.linear(params["fc1"], feature))
+    h = jnp.tanh(L.linear(params["fc2"], h))
+
+    if mode == "pri_gumbel":
+        # legacy ConcatModel (train_val.py:144-158): gumbel dropout + Lap
+        # noise applied after fc, before the classifier; fc has no relu/tanh
+        # there but we keep the package head consistent; the exact legacy
+        # head lives in legacy_heads.apply_pri_gumbel below.
+        raise ValueError("use legacy_pri_gumbel_apply for the PriGumbel head")
+
+    return L.linear(params["classifier"], h)
+
+
+# ---------------------------------------------------------------------------
+# Legacy heads (root-script generation)
+# ---------------------------------------------------------------------------
+
+def legacy_pri_gumbel_init(key, config: FusionConfig, bert_params=None):
+    """Legacy PriGumbel ConcatModel (train_val.py:125-158): fc1(relu)/fc2 then
+    learned-w Gumbel dropout + per-sample Laplace before the classifier."""
+    params = init(key, dataclasses.replace(config, dp_mode="NDP"), bert_params)
+    params["w"] = jax.random.uniform(jax.random.fold_in(key, 7), (D_MODEL,), config.jnp_dtype)
+    return params
+
+
+def legacy_pri_gumbel_apply(params, batch, config: FusionConfig, epsilon, tau,
+                            rng, train: bool):
+    """Forward of the legacy PriGumbel head (train_val.py:144-158)."""
+    bert_cfg = config.bert_cfg()
+    k_bert_a, k_bert_b, k_cross, k_gum, k_lap = jax.random.split(rng, 5)
+    feat_a, seq_a, feat_b, seq_b = _encode_streams(
+        params, batch, config, bert_cfg, (k_bert_a, k_bert_b), train
+    )
+    tgt_kpm = batch["act_mask"] == 0
+    mem_kpm = batch["eeg_mask"] == 0
+    cross = L.decoder(
+        params["cross"], seq_b, seq_a, N_HEADS,
+        tgt_key_padding_mask=tgt_kpm, memory_key_padding_mask=mem_kpm,
+        dropout_key=k_cross if train else None,
+    ).mean(axis=1)
+    feature = jnp.concatenate([feat_a, feat_b, cross], axis=1)
+    x = jax.nn.relu(L.linear(params["fc1"], feature))  # train_val.py:153
+    x = L.linear(params["fc2"], x)  # :154 (no tanh in legacy head)
+    x = dp_ops.gumbel_dropout(x, params["w"], k_gum, tau=tau, hard=not train)
+    x = dp_ops.per_sample_laplace(x, epsilon, k_lap)  # Lap_noise, :156
+    return L.linear(params["classifier"], x)
+
+
+def dp_param_predicate(path: str) -> bool:
+    """Name predicate splitting DP params from model params
+    (ref: base_train.py:168-169 `'DP' in n`)."""
+    return "DP" in path.split("/")

@@ -1,0 +1,99 @@
+"""End-to-end trainer smoke test on tiny synthetic data (CPU).
+
+Covers SURVEY.md §4's planned layers: determinism (same seed => identical
+params after k steps), the alternating-optimizer scheme, the legacy record
+format round trip, and best-F1 checkpointing in the reference state-dict
+format.
+"""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eeg_multimodal_tpu.data.datasets import MultiModalArrays
+from eeg_multimodal_tpu.models import bert as B
+from eeg_multimodal_tpu.models import fusion
+from eeg_multimodal_tpu.train import checkpoint as ckpt
+from eeg_multimodal_tpu.train.records import parse_legacy_records
+from eeg_multimodal_tpu.train.trainer import TrainConfig, Trainer
+
+TINY_BERT = B.BertConfig(
+    vocab_size=50, hidden_size=768, num_layers=1, num_heads=12,
+    intermediate_size=64, max_position_embeddings=16,
+)
+
+
+def tiny_dataset(n=10, seq=8, seed=0):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 2, n).astype(np.int32)
+    ids = rng.randint(0, 50, size=(n, seq)).astype(np.int32)
+    mask = np.ones((n, seq), np.int32)
+    emb = (rng.randn(n, 1, 512) + labels[:, None, None]).astype(np.float32)
+    emask = np.ones((n, 1), np.int32)
+    return MultiModalArrays(ids, mask, emb, emask, labels, "ti")
+
+
+def make_trainer(dp_mode="lapacian_dropout", lr=1e-3, epochs=2):
+    fc = dataclasses.replace(
+        fusion.config_for("ti", dp_mode), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, learning_rate=lr, epochs=epochs)
+    return Trainer(fc, tc)
+
+
+def test_trainer_runs_and_records(tmp_path):
+    tr = make_trainer()
+    train, test = tiny_dataset(10), tiny_dataset(6, seed=1)
+    log_path = str(tmp_path / "logs")
+    model_path = str(tmp_path / "best_f1.pickle")
+    out = tr.fit(train, test, epsilon=1.0, log_path=log_path,
+                 model_path=model_path, echo=False)
+    assert len(out["history"]) == 2
+    for row in out["history"]:
+        for k in ("train_loss", "test_loss", "f1"):
+            assert np.isfinite(row[k])
+
+    recs = parse_legacy_records(
+        open(os.path.join(log_path, "whole_record.txt")).read()
+    )
+    assert len(recs) == 2
+    assert recs[0]["epoch"] == 1
+    assert abs(recs[1]["Test Accuracy"] - round(out["history"][1]["test_acc"], 3)) < 2e-3
+
+    if out["f1_best"] > 0.5:
+        assert os.path.exists(model_path)
+        params2 = ckpt.load_torch_checkpoint(model_path, tr.fusion_cfg)
+        assert params2["DP"].shape == (1, 2304)
+
+
+def test_trainer_is_deterministic_per_seed():
+    outs = []
+    for _ in range(2):
+        tr = make_trainer(epochs=1)
+        train, test = tiny_dataset(8), tiny_dataset(4, seed=1)
+        tr.fit(train, test, epsilon=1.0)
+        outs.append(jax.tree_util.tree_leaves(tr.params))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_param_actually_trains():
+    """The alternating scheme must move the DP parameter (phase 1) and the
+    model parameters (phase 2)."""
+    tr = make_trainer(epochs=1, lr=1e-2)
+    dp_before = np.asarray(tr.params["DP"]).copy()
+    cls_before = np.asarray(tr.params["classifier"]["kernel"]).copy()
+    train, test = tiny_dataset(8), tiny_dataset(4, seed=1)
+    tr.fit(train, test, epsilon=1.0)
+    assert np.abs(np.asarray(tr.params["DP"]) - dp_before).max() > 0
+    assert np.abs(np.asarray(tr.params["classifier"]["kernel"]) - cls_before).max() > 0
+
+
+def test_single_optimizer_mode_ndp():
+    tr = make_trainer(dp_mode="NDP", epochs=1)
+    train, test = tiny_dataset(8), tiny_dataset(4, seed=1)
+    out = tr.fit(train, test, epsilon=1.0)
+    assert np.isfinite(out["history"][0]["train_loss"])
+    assert "DP" not in tr.params

@@ -1,0 +1,166 @@
+"""Public API facade: TrainAndTest with the reference's exact signature.
+
+Mirrors python/src/custom_models/base_train.py:47-553 — same argument list,
+same path-based dataset resolution (base_train.py:77-125), same model
+dispatch (:127-150), same four dp_mode training regimes, same on-disk layout:
+
+  data/embedding/<modal>/<txt|img>/<model>_<coef_std>/{train,test}.pickle
+  data/processed/{train,test}_label.csv
+  models/custom/<train_type>/<path_suffix>best_f1.pickle
+  logs/<train_type>/<path_suffix>{whole,best}_record.txt
+
+so a user of the reference can point this class at the same data tree and get
+the same artifacts, with the TPU trainer underneath.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+from ..data import datasets as D
+from ..dp.dpsgd import DPSGDConfig
+from ..models import fusion
+from .dpsgd_trainer import DPSGDTrainer
+from .trainer import TrainConfig, Trainer
+
+
+def standardize_coef(coef: str) -> str:
+    """'ViT-B/32' -> 'ViT_B_32' (base_train.py:74-75)."""
+    return coef.replace("/", "_").replace("-", "_")
+
+
+class TrainAndTest:
+    """ref signature: TrainAndTest(batch_size=8, learning_rate=1e-6,
+    epochs=50).train(train_type, path_suffix, multimodal_type, dp_mode,
+    eeg_model, eeg_model_coef, act_model, act_model_coef, cross_atn_type,
+    epsilon)."""
+
+    def __init__(
+        self,
+        batch_size: int = 8,
+        learning_rate: float = 1e-6,
+        epochs: int = 50,
+        data_root: str = ".",
+        compute_dtype: str = "bfloat16",
+        bert_params=None,
+        echo: bool = True,
+    ):
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.epochs = epochs
+        self.data_root = data_root
+        self.compute_dtype = compute_dtype
+        self.bert_params = bert_params
+        self.echo = echo
+
+    # -- dataset resolution (base_train.py:77-125) ---------------------------
+    def _embedding_path(self, modal: str, repr_: str, model: str, coef: str, split: str):
+        return os.path.join(
+            self.data_root, "data", "embedding", modal, repr_,
+            f"{model}_{standardize_coef(coef)}", f"{split}.pickle",
+        )
+
+    def _load_split(self, split, multimodal_type, eeg_model, eeg_model_coef,
+                    act_model, act_model_coef):
+        label_path = os.path.join(
+            self.data_root, "data", "processed", f"{split}_label.csv"
+        )
+        labels = D.load_label_csv(label_path)
+        kw: Dict[str, Any] = {}
+        eeg_repr = "txt" if multimodal_type[0] == "t" else "img"
+        act_repr = "txt" if multimodal_type[1] == "t" else "img"
+        eeg_path = self._embedding_path("EEG", eeg_repr, eeg_model, eeg_model_coef, split)
+        act_path = self._embedding_path("act", act_repr, act_model, act_model_coef, split)
+        if eeg_repr == "txt":
+            kw["eeg_txt"] = D.load_bert_pickle(eeg_path)
+        else:
+            kw["eeg_img"] = D.load_embedding_pickle(eeg_path)
+        if act_repr == "txt":
+            kw["act_txt"] = D.load_bert_pickle(act_path)
+        else:
+            kw["act_img"] = D.load_embedding_pickle(act_path)
+        return D.build_pairing(multimodal_type, labels, **kw)
+
+    # -- the public train entry ---------------------------------------------
+    def train(
+        self,
+        train_type: str,
+        path_suffix: str,
+        multimodal_type: str,
+        dp_mode: str,
+        eeg_model: str,
+        eeg_model_coef: str,
+        act_model: str,
+        act_model_coef: str,
+        cross_atn_type: str,
+        epsilon: float,
+    ):
+        train_data = self._load_split(
+            "train", multimodal_type, eeg_model, eeg_model_coef,
+            act_model, act_model_coef,
+        )
+        test_data = self._load_split(
+            "test", multimodal_type, eeg_model, eeg_model_coef,
+            act_model, act_model_coef,
+        )
+        return self.train_on(
+            train_data, test_data, train_type, path_suffix, multimodal_type,
+            dp_mode, eeg_model_coef, cross_atn_type, epsilon,
+        )
+
+    def train_on(
+        self,
+        train_data,
+        test_data,
+        train_type: str,
+        path_suffix: str,
+        multimodal_type: str,
+        dp_mode: str,
+        eeg_model_coef: str = "bert-base-uncased",
+        cross_atn_type: str = "double_stream",
+        epsilon: float = 0.1,
+        bert_config=None,
+    ):
+        """In-memory variant of :meth:`train` (datasets already built)."""
+        import dataclasses
+
+        model_path = os.path.join(
+            self.data_root, "models", "custom", train_type, path_suffix,
+            "best_f1.pickle",
+        )
+        log_path = os.path.join(self.data_root, "logs", train_type, path_suffix)
+
+        fc = fusion.config_for(
+            multimodal_type, dp_mode, cross_atn_type,
+            bert_coef=eeg_model_coef, dtype="float32",
+        )
+        if bert_config is not None:
+            fc = dataclasses.replace(fc, bert_config=bert_config)
+
+        if dp_mode == "DPSGD":
+            trainer = DPSGDTrainer(
+                fc,
+                DPSGDConfig(
+                    target_epsilon=epsilon,
+                    epochs=self.epochs,
+                    batch_size=self.batch_size,
+                    learning_rate=self.learning_rate,
+                ),
+                bert_params=self.bert_params,
+            )
+            return trainer.fit(
+                train_data, test_data, log_path=log_path,
+                model_path=model_path, echo=self.echo,
+            )
+
+        tc = TrainConfig(
+            batch_size=self.batch_size,
+            learning_rate=self.learning_rate,
+            epochs=self.epochs,
+            compute_dtype=self.compute_dtype,
+        )
+        trainer = Trainer(fc, tc, bert_params=self.bert_params)
+        return trainer.fit(
+            train_data, test_data, epsilon,
+            log_path=log_path, model_path=model_path, echo=self.echo,
+        )

@@ -1,0 +1,186 @@
+"""Batched sweep engine: train every sweep member in one vmapped program.
+
+The reference runs its grids sequentially — 20 epsilon values one after the
+other (compare_privacy_budget.py:50-56), alpha sweeps (train_val.py:532-543),
+index-selected eps runs (past_acc.py:255-258). On TPU the entire grid is one
+XLA program: member configs (epsilon, seed) stack on a leading axis, params
+and optimizer states stack with them, and ``jax.vmap`` over the jitted
+epoch-scan trains all members at once — the BASELINE.json "batched eps sweep
+{0.1,1,3,5,10} x seeds" north star. Epoch shuffles are shared across members
+(the reference reseeds 980616 before every run, so its members see identical
+shuffle orders too).
+
+Memory note: BERT-base members cost ~1.3 GB each (f32 params + Adam moments);
+a 16 GB v5e chip fits ~10. Larger grids chunk automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import MultiModalArrays, epoch_indices
+from ..models import fusion
+from ..utils.seeding import key_chain, set_seed
+from . import metrics as M
+from .records import RunRecorder
+from .trainer import StepFunctions, TrainConfig
+
+
+@dataclasses.dataclass
+class SweepMember:
+    epsilon: float
+    seed: int = 980616
+    label: Optional[str] = None
+
+    @property
+    def name(self) -> str:
+        return self.label or f"eps{self.epsilon}_seed{self.seed}"
+
+
+class SweepRunner:
+    def __init__(
+        self,
+        fusion_cfg: fusion.FusionConfig,
+        train_cfg: TrainConfig,
+        members: Sequence[SweepMember],
+        bert_params=None,
+        max_members_in_flight: int = 10,
+    ):
+        self.fusion_cfg = fusion_cfg
+        self.train_cfg = train_cfg
+        self.members = list(members)
+        self.bert_params = bert_params
+        self.chunk = max_members_in_flight
+        self.steps = StepFunctions(fusion_cfg, train_cfg)
+        s = self.steps
+        self._vtrain = jax.jit(
+            jax.vmap(s._train_epoch, in_axes=(0, 0, 0, None, None, None, 0, 0))
+        )
+        self._veval = jax.jit(
+            jax.vmap(s._eval_epoch, in_axes=(0, None, None, None, 0, 0))
+        )
+
+    def _init_members(self, members: Sequence[SweepMember]):
+        keys = jnp.stack(
+            [key_chain(set_seed(m.seed), "init") for m in members]
+        )
+        init_one = lambda k: fusion.init(k, self.fusion_cfg, self.bert_params)
+        params = jax.jit(jax.vmap(init_one))(keys)
+        dp_os, model_os = jax.vmap(self.steps.init_opt_states)(params)
+        return params, dp_os, model_os
+
+    def run(
+        self,
+        train_data: MultiModalArrays,
+        test_data: MultiModalArrays,
+        log_root: Optional[str] = None,
+        echo: bool = True,
+    ) -> List[Dict[str, Any]]:
+        out: List[Dict[str, Any]] = []
+        for i in range(0, len(self.members), self.chunk):
+            out.extend(
+                self._run_chunk(
+                    self.members[i : i + self.chunk],
+                    train_data, test_data, log_root, echo,
+                )
+            )
+        return out
+
+    def _run_chunk(self, members, train_data, test_data, log_root, echo):
+        cfg = self.train_cfg
+        S = len(members)
+        params, dp_os, model_os = self._init_members(members)
+        epsilons = jnp.asarray([m.epsilon for m in members], jnp.float32)
+        member_keys = [set_seed(m.seed) for m in members]
+        train_dev = train_data.device_put()
+        test_dev = test_data.device_put()
+        n_train, n_test = len(train_data), len(test_data)
+
+        recorders = [
+            RunRecorder(f"{log_root}/{m.name}/", echo=False) if log_root else None
+            for m in members
+        ]
+        f1_best = [cfg.f1_best_init] * S
+        best: List[Optional[Dict]] = [None] * S
+        histories: List[List[Dict]] = [[] for _ in members]
+
+        shuffle_key = key_chain(set_seed(members[0].seed), "epoch")
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            ek = jax.random.fold_in(shuffle_key, epoch)
+            k_shuffle, k_eval_order = jax.random.split(ek)
+            idx, w = epoch_indices(k_shuffle, n_train, cfg.batch_size)
+            tkeys = jnp.stack(
+                [
+                    jax.random.fold_in(key_chain(k, "train"), epoch)
+                    for k in member_keys
+                ]
+            )
+            params, dp_os, model_os, tr_loss, tr_acc = self._vtrain(
+                params, dp_os, model_os, train_dev, idx, w, epsilons, tkeys
+            )
+            eidx, ew = epoch_indices(k_eval_order, n_test, cfg.batch_size, shuffle=False)
+            ekeys = jnp.stack(
+                [
+                    jax.random.fold_in(key_chain(k, "eval"), epoch)
+                    for k in member_keys
+                ]
+            )
+            te_loss, te_acc, preds, labels, _, ws = self._veval(
+                params, test_dev, eidx, ew, epsilons, ekeys
+            )
+            jax.block_until_ready(te_loss)
+            dt = time.time() - t0
+
+            preds_np, labels_np, ws_np = map(np.asarray, (preds, labels, ws))
+            for s, m in enumerate(members):
+                sel = ws_np[s] > 0
+                f1 = M.f1_binary(preds_np[s][sel], labels_np[s][sel])
+                row = dict(
+                    epoch=epoch + 1,
+                    train_loss=float(tr_loss[s]), train_acc=float(tr_acc[s]),
+                    test_loss=float(te_loss[s]), test_acc=float(te_acc[s]),
+                    f1=float(f1), time_cost=dt, epsilon=m.epsilon, seed=m.seed,
+                )
+                histories[s].append(row)
+                rec = None
+                if recorders[s]:
+                    rec = recorders[s].epoch(
+                        epoch, row["train_loss"], row["train_acc"],
+                        row["test_loss"], row["test_acc"], f1, dt,
+                        extra={"epsilon": m.epsilon, "seed": m.seed},
+                    )
+                if f1 > f1_best[s]:
+                    f1_best[s] = f1
+                    best[s] = row
+                    if recorders[s] and rec:
+                        recorders[s].best_record(rec)
+            if echo:
+                accs = " ".join(f"{float(a):.3f}" for a in te_acc)
+                print(
+                    f"[sweep] epoch {epoch + 1}/{cfg.epochs} "
+                    f"({dt:.1f}s, {S} members) test_acc: {accs}"
+                )
+
+        return [
+            {
+                "member": dataclasses.asdict(m),
+                "history": histories[s],
+                "best": best[s],
+                "f1_best": f1_best[s],
+            }
+            for s, m in enumerate(members)
+        ]
+
+
+def privacy_utility_frontier(
+    epsilons: Sequence[float] = (0.1, 1.0, 3.0, 5.0, 10.0),
+    seeds: Sequence[int] = (980616,),
+) -> List[SweepMember]:
+    """The BASELINE.json frontier grid: eps x seeds."""
+    return [SweepMember(float(e), int(s)) for e in epsilons for s in seeds]

@@ -126,14 +126,25 @@ class GetEmbedding:
     # -- txt path ------------------------------------------------------------
     def text_encode(self, data_path: str) -> List[Dict[str, np.ndarray]]:
         """Row -> space-joined int string -> WordPiece (ref :113-116). Output
-        matches the BatchEncoding-list pickle format the datasets consume."""
+        matches the BatchEncoding-list pickle format the datasets consume.
+        Uses the native C++ tokenizer when the toolchain is available."""
         rows = load_feature_csv(data_path)
-        out = []
-        for row in rows:
-            sentence = serialize_row(int(v) for v in row)
-            ids, mask = self.tokenizer.encode(sentence, MAX_LEN)
-            out.append({"input_ids": ids, "attention_mask": mask})
-        return out
+        texts = [serialize_row(int(v) for v in row) for row in rows]
+        from .. import native
+
+        if native.available():
+            nt = getattr(self, "_native_tok", None)
+            if nt is None:
+                nt = self._native_tok = native.NativeWordPiece.from_wordpiece(
+                    self.tokenizer
+                )
+            ids, mask = nt.encode_batch(texts, MAX_LEN)
+        else:
+            ids, mask = self.tokenizer.encode_batch(texts, MAX_LEN)
+        return [
+            {"input_ids": ids[i], "attention_mask": mask[i]}
+            for i in range(len(texts))
+        ]
 
     def get_text_encode(self, txt_process_coef_model_list):
         for modal in self.modal_list:

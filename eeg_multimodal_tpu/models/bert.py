@@ -107,19 +107,37 @@ def _layer_norm(params, x, eps):
     return (y * params["scale"] + params["bias"]).astype(x.dtype)
 
 
+# Use the fused Pallas attention kernel (ops/attention.py) when shapes allow.
+# Set False to force the einsum reference path.
+USE_FUSED_ATTENTION = True
+
+
 def _self_attention(p, x, attn_bias, num_heads, attn_drop, key):
     B, S, H = x.shape
     D = H // num_heads
     q = linear(p["query"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
     k = linear(p["key"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
     v = linear(p["value"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION
-    ) / math.sqrt(D)
-    scores = scores + attn_bias  # additive mask, HF-style
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = dropout(probs, attn_drop, key)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+
+    from ..ops import attention as fused
+
+    if USE_FUSED_ATTENTION and fused.attention_available(S, D):
+        bias3 = attn_bias[:, 0, 0, :][:, None, :]  # (B, 1, S)
+        if key is not None and attn_drop > 0.0:
+            seed = jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
+            ctx = fused.fused_attention(q, k, v, bias3, seed, attn_drop)
+        else:
+            ctx = fused.fused_attention(
+                q, k, v, bias3, jnp.zeros((1,), jnp.int32), 0.0
+            )
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION
+        ) / math.sqrt(D)
+        scores = scores + attn_bias  # additive mask, HF-style
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = dropout(probs, attn_drop, key)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H).astype(x.dtype)
     return linear(p["output"], ctx)
 

@@ -190,6 +190,7 @@ def apply(
     hard: bool,
     rng: Optional[jax.Array],
     train: bool,
+    return_features: bool = False,
 ):
     """Forward pass -> logits (B, 2).
 
@@ -248,6 +249,10 @@ def apply(
     # the (B, 2304) block is negligible next to the encoders.
     feature = jnp.concatenate(parts, axis=1).astype(jnp.float32)
     feature = dp_ops.minmax_normalize(feature)  # models.py:70-72
+    if return_features:
+        # truncated forward: the 'feawei' feature-weight extraction path
+        # (past_acc_feawei.py:103-124 returns the normalized concat)
+        return feature
 
     mode = config.dp_mode
     if mode == "lapacian_dropout":

@@ -49,6 +49,12 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for the TPU hot path
     shuffle_eval: bool = False  # ref shuffles eval batches; metric-invariant
     n_eval: int = 1  # stochastic eval repeats (ref train.py:126-138 uses 5)
+    # Fast mode: reuse one RNG draw for both alternating phases' forwards.
+    # The two phase forwards then become identical expressions and XLA CSEs
+    # the encoder trunk — one BERT forward per step instead of two. The
+    # reference draws fresh dropout/noise per forward (hence False default);
+    # statistically the phases still see fresh randomness every step.
+    share_phase_dropout: bool = False
 
 
 class StepFunctions:
@@ -101,6 +107,8 @@ class StepFunctions:
             b_idx, w, sk = xs
             batch = gather_batch(data, b_idx)
             k1, k2 = jax.random.split(sk)
+            if self.train_cfg.share_phase_dropout:
+                k2 = k1
 
             if self.has_dp_param:
                 # phase 1: DP param only, hard=False (base_train.py:183-195).

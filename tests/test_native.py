@@ -1,0 +1,66 @@
+"""Native C++ WordPiece: parity with the Python engine + throughput sanity."""
+import time
+
+import numpy as np
+import pytest
+
+from eeg_multimodal_tpu import native
+from eeg_multimodal_tpu.data import tokenizer as T
+
+
+@pytest.fixture(scope="module")
+def py_tok():
+    return T.synthetic_numeric_vocab()
+
+
+@pytest.fixture(scope="module")
+def nat_tok(py_tok):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return native.NativeWordPiece.from_wordpiece(py_tok)
+
+
+def test_native_matches_python_engine(py_tok, nat_tok):
+    rng = np.random.RandomState(0)
+    texts = [
+        " ".join(str(v) for v in rng.randint(-5000, 5000, size=30))
+        for _ in range(50)
+    ]
+    for t in texts:
+        ids_py, mask_py = py_tok.encode(t, 128)
+        ids_c, mask_c = nat_tok.encode(t, 128)
+        np.testing.assert_array_equal(ids_c, ids_py)
+        np.testing.assert_array_equal(mask_c, mask_py)
+
+
+def test_native_batch_matches_single(nat_tok):
+    texts = ["1 2 3", "-44 55 666", "9999999"]
+    ids_b, mask_b = nat_tok.encode_batch(texts, 32)
+    for i, t in enumerate(texts):
+        ids_s, mask_s = nat_tok.encode(t, 32)
+        np.testing.assert_array_equal(ids_b[i], ids_s)
+        np.testing.assert_array_equal(mask_b[i], mask_s)
+
+
+def test_native_truncation(py_tok, nat_tok):
+    long = " ".join(["12345"] * 300)
+    ids_py, _ = py_tok.encode(long, 64)
+    ids_c, mask_c = nat_tok.encode(long, 64)
+    np.testing.assert_array_equal(ids_c, ids_py)
+    assert mask_c.sum() == 64
+
+
+def test_native_is_fast(py_tok, nat_tok):
+    rng = np.random.RandomState(1)
+    texts = [
+        " ".join(str(v) for v in rng.randint(-5000, 5000, size=55))
+        for _ in range(2402)  # reference train-split scale
+    ]
+    t0 = time.time()
+    nat_tok.encode_batch(texts, 512)
+    dt_native = time.time() - t0
+    t0 = time.time()
+    py_tok.encode_batch(texts[:300], 512)
+    dt_py = (time.time() - t0) * (len(texts) / 300)
+    assert dt_native < dt_py / 5, (dt_native, dt_py)
+    assert dt_native < 1.0  # whole split well under a second

@@ -27,6 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _prec(dtype):
+    # full-precision passes only exist for f32 operands; Mosaic rejects the
+    # precision attribute on bf16 inputs ("Bad lhs type")
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
                 dropout_rate):
     q = q_ref[0, 0]  # (S, D)
@@ -34,7 +40,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_prec(q.dtype),
     ) * scale  # (S, S)
     s = s + bias_ref[0]  # additive mask bias, (1, S) broadcasts over rows
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -50,7 +56,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_prec(v.dtype),
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
@@ -63,7 +69,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     do = do_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_prec(q.dtype),
     ) * scale
     s = s + bias_ref[0]
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -78,31 +84,32 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     else:
         p_drop = p
+    # matmuls run in the input dtype on the MXU (bf16 flops in bf16 mode,
+    # full-precision passes in f32 mode) with f32 accumulation throughout
+    dt = q.dtype
+    prec = _prec(dt)
     # dV = P_drop^T dO
     dv = jax.lax.dot_general(
-        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        p_drop.astype(dt), do.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     # dP_drop = dO V^T
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        do.astype(dt), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     if dropout_rate > 0.0:
         dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-    # softmax backward: dS = P * (dP - rowsum(dP * P))
+    # softmax backward: dS = P * (dP - rowsum(dP * P)) — f32 on the VPU
     row = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - row)
     dq = jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        ds.astype(dt), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     ) * scale
     dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        ds.astype(dt), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     ) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)

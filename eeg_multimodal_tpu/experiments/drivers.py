@@ -34,9 +34,23 @@ class _Driver:
     def configs(self) -> List[Dict]:
         raise NotImplementedError
 
-    def run(self):
+    def _completed(self, cfg) -> bool:
+        """A config is complete when its best_record.txt exists — the same
+        presence check the reference's plot tooling relies on
+        (visualization/plot.py:147-149)."""
+        import os
+
+        return os.path.exists(os.path.join(
+            self.python_job.data_root, "logs", cfg["train_type"],
+            cfg["path_suffix"], "best_record.txt",
+        ))
+
+    def run(self, skip_completed: bool = False):
         results = {}
         for cfg in self.configs():
+            if skip_completed and self._completed(cfg):
+                results[cfg["path_suffix"]] = "skipped (completed)"
+                continue
             results[cfg["path_suffix"]] = self.python_job.train(**cfg)
         return results
 

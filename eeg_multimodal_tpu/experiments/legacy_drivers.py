@@ -97,6 +97,40 @@ def extract_feawei(
     return out
 
 
+class AlphaSweep:
+    """ref train_val.py:524-543: sweep the privacy-regularized loss weight
+    alpha over exp(linspace(log 0.01, 2, 50)) with the PriGumbel pretrainer,
+    one run per alpha under <out_root>/<alpha>/."""
+
+    def __init__(self, fusion_cfg=None, out_root: str = "model_dict/PriGumbel/alpha"):
+        from ..train.legacy import PriGumbelConfig
+
+        self.fusion_cfg = fusion_cfg or fusion.config_for("ti", "NDP")
+        self.out_root = out_root
+        self.base_cfg = PriGumbelConfig()
+
+    def alphas(self, n: int = 50):
+        from ..train.legacy import alpha_sweep_values
+
+        return alpha_sweep_values(n)
+
+    def run(self, train_data, test_data, n: int = 50, echo: bool = False):
+        import dataclasses as dc
+
+        from ..train.legacy import PriGumbelPretrainer
+
+        results = {}
+        for alpha in self.alphas(n):
+            cfg = dc.replace(self.base_cfg, alpha=float(alpha))
+            trainer = PriGumbelPretrainer(self.fusion_cfg, cfg)
+            results[float(alpha)] = trainer.pretrain(
+                train_data, test_data,
+                path=os.path.join(self.out_root, f"{alpha:.4f}"),
+                echo=echo,
+            )
+        return results
+
+
 def rewrite_val_to_test(root: str) -> int:
     """Bulk-rewrite 'Val' -> 'Test' in every *record*.txt under root
     (ref 1224.py:12-31). Returns the number of files rewritten."""

@@ -203,7 +203,9 @@ def decoder_init(key, d_model: int, num_layers: int, dtype=jnp.float32):
     deep copies of one module, i.e. *identically initialized* — reproduced
     here by reusing one init (ref: models.py:45)."""
     layer = decoder_layer_init(key, d_model, dtype)
-    return {"layers": [jax.tree_util.tree_map(lambda x: x, layer) for _ in range(num_layers)]}
+    # distinct buffers per layer (donation/sharding need non-aliased leaves)
+    return {"layers": [jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), layer)
+                       for _ in range(num_layers)]}
 
 
 def decoder(
@@ -261,7 +263,8 @@ def encoder_layer(
 
 def encoder_init(key, d_model: int, num_layers: int, dtype=jnp.float32):
     layer = encoder_layer_init(key, d_model, dtype)
-    return {"layers": [jax.tree_util.tree_map(lambda x: x, layer) for _ in range(num_layers)]}
+    return {"layers": [jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), layer)
+                       for _ in range(num_layers)]}
 
 
 def encoder(

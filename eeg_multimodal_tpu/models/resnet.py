@@ -8,7 +8,6 @@ average pool. Weight import from a torchvision state dict.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ the same artifacts, with the TPU trainer underneath.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from ..data import datasets as D
 from ..dp.dpsgd import DPSGDConfig

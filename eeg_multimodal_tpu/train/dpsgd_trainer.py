@@ -17,7 +17,6 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -25,7 +24,7 @@ from ..data.datasets import MultiModalArrays, epoch_indices, gather_batch
 from ..dp import dpsgd
 from ..models import fusion
 from ..utils.seeding import key_chain, set_seed
-from ..utils.trees import tree_cast, tree_merge, tree_partition
+from ..utils.trees import tree_partition
 from . import checkpoint as ckpt
 from . import metrics as M
 from .records import RunRecorder

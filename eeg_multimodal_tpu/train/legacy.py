@@ -25,7 +25,7 @@ import dataclasses
 import os
 import pickle
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -87,7 +86,10 @@ class StepFunctions:
 
         self.forward = forward
         self.loss_fn = loss_fn
-        self._train_epoch_jit = jax.jit(self._train_epoch)
+        # donate params/optimizer states: the epoch returns their successors,
+        # so aliasing the 1.3 GB of state in place frees HBM headroom for
+        # vmapped sweep members
+        self._train_epoch_jit = jax.jit(self._train_epoch, donate_argnums=(0, 1, 2))
         self._eval_epoch_jit = jax.jit(self._eval_epoch)
 
     # -- optimizer state ----------------------------------------------------

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -184,6 +184,63 @@ def plot_modality_comparison(modal_to_rows: Dict[str, List[Dict]], out_path: str
     ax2.set_ylabel("time cost (s/epoch)")
     ax1.set_xticks(x)
     ax1.set_xticklabels(names)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_alpha_sweep(alphas, mean_acc, std_acc, out_path: str,
+                     public_baseline: float = 0.94):
+    """Alpha-sweep mean±std accuracy with the 'Baseline (Public)' line at
+    0.94 (ref plot.py:22-81, the PriGumbel alpha figure)."""
+    alphas = np.asarray(alphas)
+    mean_acc = np.asarray(mean_acc)
+    std_acc = np.asarray(std_acc)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(alphas, mean_acc, marker="o", label="DP-MLD")
+    ax.fill_between(alphas, mean_acc - std_acc, mean_acc + std_acc, alpha=0.25)
+    ax.axhline(public_baseline, color="gray", linestyle="--",
+               label=f"Baseline (Public) {public_baseline}")
+    ax.set_xlabel(r"loss weight $\alpha$")
+    ax.set_ylabel("val accuracy")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_init_weight_comparison(grid_to_rows: Dict[str, List[Dict]], out_path: str):
+    """Encoder-init grid comparison (ref plot.py:648-709)."""
+    names = list(grid_to_rows)
+    vals = [
+        best_row(grid_to_rows[n], "test_accuracy")["test_accuracy"]
+        for n in names
+    ]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.bar(names, vals)
+    ax.set_ylabel("best test accuracy")
+    ax.set_ylim(0, 1)
+    plt.xticks(rotation=25, ha="right", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_feature_magnitudes(features: np.ndarray, out_path: str, k: float = 1.0):
+    """Per-feature mean magnitude of extracted fused features and the
+    derived sigmoid DP init (ref past_acc_feawei.py:151-189)."""
+    mean_values = np.mean(np.asarray(features), axis=0)
+    std = (mean_values - mean_values.mean()) / mean_values.std()
+    w_init = 1.0 - _sigmoid(k * std)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    axes[0].plot(mean_values, lw=0.5)
+    axes[0].set_xlabel("feature index")
+    axes[0].set_ylabel("mean magnitude")
+    axes[1].hist(w_init, bins=50)
+    axes[1].set_xlabel("derived init dropout weight w")
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)

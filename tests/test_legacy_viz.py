@@ -101,3 +101,31 @@ def test_dp_param_stats_formula():
     stats = viz.dp_param_stats(np.zeros((1, 8)), 0.1)
     np.testing.assert_allclose(stats["w"], 0.5)
     np.testing.assert_allclose(stats["noise_scale"], 5.23827, rtol=1e-4)
+
+
+def test_new_viz_figures(tmp_path):
+    import numpy as np
+
+    alphas = np.exp(np.linspace(np.log(0.01), 2, 10))
+    p1 = viz.plot_alpha_sweep(alphas, np.full(10, 0.95), np.full(10, 0.01),
+                              str(tmp_path / "alpha.png"))
+    rows = [{"epoch": 1, "test_accuracy": 0.9, "f1": 0.9, "train_loss": 0.1,
+             "train_accuracy": 0.9, "test_loss": 0.1, "time_cost_s": 1.0}]
+    p2 = viz.plot_init_weight_comparison(
+        {"uncased_ViT-B/32": rows, "cased_resnet34": rows},
+        str(tmp_path / "init.png"))
+    p3 = viz.plot_feature_magnitudes(
+        np.random.RandomState(0).rand(50, 2304), str(tmp_path / "fm.png"))
+    import os
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
+
+
+def test_alpha_sweep_driver_values():
+    from eeg_multimodal_tpu.experiments.legacy_drivers import AlphaSweep
+
+    sw = AlphaSweep()
+    a = sw.alphas(5)
+    assert len(a) == 5
+    import numpy as np
+    assert abs(a[0] - 0.01) < 1e-9 and abs(a[-1] - np.exp(2)) < 1e-9

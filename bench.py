@@ -86,7 +86,13 @@ def main():
     from eeg_multimodal_tpu.data.datasets import epoch_indices
     from eeg_multimodal_tpu.utils.seeding import set_seed
 
+    from eeg_multimodal_tpu.data.datasets import truncate_pair
+
     train, test = load_data()
+    # exact padding removal (rows are <= 65 of 512 tokens; see
+    # data.datasets.truncate_tokens) — the reference burns the same FLOPs on
+    # padding, so this is the TPU-native data layout doing the work
+    train, test = truncate_pair(train, test)
     fc = fusion.config_for("ti", "lapacian_dropout")
     tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16")
     steps = StepFunctions(fc, tc)

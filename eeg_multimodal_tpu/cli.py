@@ -186,6 +186,9 @@ def main(argv=None):
         job2 = TrainAndTest(data_root=args.data_root)
         train = job2._load_split("train", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
         test = job2._load_split("test", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
+        from .data.datasets import truncate_pair
+
+        train, test = truncate_pair(train, test)
         SweepRunner(fc, tc, members).run(train, test, log_root=args.log_root)
         return 0
 

@@ -162,6 +162,56 @@ def build_pairing(
 # Epoch batching: permutation -> padded (n_batches, B) index matrix
 # ---------------------------------------------------------------------------
 
+def truncate_tokens(arrays: "MultiModalArrays", multiple: int = 128,
+                    max_len: Optional[int] = None) -> "MultiModalArrays":
+    """Drop all-padding token columns: slice txt streams to the max valid
+    mask length rounded up to `multiple` (MXU/Pallas alignment).
+
+    Mathematically exact: padded positions carry -inf attention bias, the
+    pooler reads [CLS] only, and cross-attention masks them out — so their
+    removal changes no logits. The reference pads every row to 512
+    (get_embedding.py:115) and spends >85% of encoder FLOPs on padding; the
+    committed data's longest row is 65 tokens.
+    """
+    def cut(ids, mask):
+        if ids.ndim != 2 or ids.shape[1] <= multiple:
+            return ids, mask
+        longest = int(np.max(mask.sum(axis=1)))
+        target = max_len or -(-longest // multiple) * multiple
+        target = min(target, ids.shape[1])
+        return ids[:, :target], mask[:, :target]
+
+    ei, em = arrays.eeg_input, arrays.eeg_mask
+    ai, am = arrays.act_input, arrays.act_mask
+    if arrays.multimodal_type[0] == "t":
+        ei, em = cut(ei, em)
+    if arrays.multimodal_type[1] == "t":
+        ai, am = cut(ai, am)
+    return MultiModalArrays(ei, em, ai, am, arrays.labels, arrays.multimodal_type)
+
+
+def truncate_pair(train: "MultiModalArrays", test: "MultiModalArrays",
+                  multiple: int = 128):
+    """Truncate a train/test pair to one shared (rounded) max length so a
+    single compiled program serves both."""
+    def longest(a):
+        out = 0
+        if a.multimodal_type[0] == "t":
+            out = max(out, int(np.max(a.eeg_mask.sum(axis=1))))
+        if a.multimodal_type[1] == "t":
+            out = max(out, int(np.max(a.act_mask.sum(axis=1))))
+        return out
+
+    top = max(longest(train), longest(test))
+    if top == 0:
+        return train, test
+    target = -(-top // multiple) * multiple
+    return (
+        truncate_tokens(train, multiple, max_len=target),
+        truncate_tokens(test, multiple, max_len=target),
+    )
+
+
 def epoch_indices(key: jax.Array, n: int, batch_size: int, shuffle: bool = True):
     """Shuffled epoch as a static-shape index matrix plus a validity mask.
 

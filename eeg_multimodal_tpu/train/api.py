@@ -120,9 +120,20 @@ class TrainAndTest:
         cross_atn_type: str = "double_stream",
         epsilon: float = 0.1,
         bert_config=None,
+        auto_truncate: bool = True,
     ):
-        """In-memory variant of :meth:`train` (datasets already built)."""
+        """In-memory variant of :meth:`train` (datasets already built).
+
+        ``auto_truncate`` drops all-padding token columns (exact — see
+        data.datasets.truncate_tokens); the committed data's rows are <= 65
+        tokens of the padded 512, so this is a ~4x encoder-FLOPs saving.
+        """
         import dataclasses
+
+        if auto_truncate:
+            from ..data.datasets import truncate_pair
+
+            train_data, test_data = truncate_pair(train_data, test_data)
 
         model_path = os.path.join(
             self.data_root, "models", "custom", train_type, path_suffix,

@@ -42,6 +42,7 @@ tr = D.build_pairing("ti", labels[:n], eeg_txt={k: v[:n] for k, v in tok.items()
 n2 = min(len(labels), n + 128)
 te = D.build_pairing("ti", labels[n:n2], eeg_txt={k: v[n:n2] for k, v in tok.items()}, act_img=emb[n:n2])
 
+tr, te = D.truncate_pair(tr, te)  # exact padding removal (512 -> 128 tokens)
 fc = fusion.config_for("ti", "lapacian_dropout")
 tc = TrainConfig(epochs=args.epochs, compute_dtype=args.dtype)
 trainer = Trainer(fc, tc)

@@ -9,6 +9,7 @@ import dataclasses
 import os
 
 import numpy as np
+import jax.numpy as jnp
 import jax
 import jax.numpy as jnp
 
@@ -97,3 +98,41 @@ def test_single_optimizer_mode_ndp():
     out = tr.fit(train, test, epsilon=1.0)
     assert np.isfinite(out["history"][0]["train_loss"])
     assert "DP" not in tr.params
+
+
+def test_truncate_tokens_is_exact():
+    """Truncating all-padding columns must not change logits."""
+    import dataclasses
+
+    from eeg_multimodal_tpu.data.datasets import truncate_pair, truncate_tokens
+    from eeg_multimodal_tpu.models import fusion as F
+
+    data = tiny_dataset(6)
+    # widen tokens to 16 with only first 5 valid
+    ids = np.zeros((6, 16), np.int32)
+    mask = np.zeros((6, 16), np.int32)
+    ids[:, :8] = data.eeg_input
+    mask[:, :5] = 1
+    import dataclasses as dc
+
+    wide = dc.replace(data, eeg_input=ids, eeg_mask=mask)
+    cut = truncate_tokens(wide, multiple=8)
+    assert cut.eeg_input.shape[1] == 8
+    np.testing.assert_array_equal(cut.eeg_input, ids[:, :8])
+
+    cfg = dataclasses.replace(F.config_for("ti", "NDP"), bert_config=TINY_BERT)
+    params = F.init(jax.random.PRNGKey(0), cfg)
+
+    def logits(arr):
+        batch = {
+            "eeg_input": jnp.asarray(arr.eeg_input),
+            "eeg_mask": jnp.asarray(arr.eeg_mask),
+            "act_input": jnp.asarray(arr.act_input),
+            "act_mask": jnp.asarray(arr.act_mask),
+        }
+        return np.asarray(F.apply(params, batch, cfg, 0.1, True, None, False))
+
+    np.testing.assert_allclose(logits(wide), logits(cut), rtol=1e-4, atol=1e-5)
+
+    a, b = truncate_pair(wide, wide, multiple=8)
+    assert a.eeg_input.shape[1] == b.eeg_input.shape[1] == 8

@@ -225,7 +225,14 @@ def _should_interpret() -> bool:
 
 
 def attention_available(S: int, D: int) -> bool:
-    """The single-block kernel needs the whole head in VMEM: S*S f32 scores
-    + 4 S*D operands well under the ~16 MB budget."""
+    """Gate for the single-block kernel.
+
+    Needs the whole head in VMEM (S*S f32 scores + operands under the ~16 MB
+    budget) and S large enough that HBM score materialization actually hurts
+    — measured on v5e: at S=128 XLA's fused einsum wins (2.85 vs 3.38 ms
+    BERT fwd), at S=512 the kernel wins (10.4 vs 18.6 ms)."""
     vmem = S * S * 4 + 5 * S * D * 4
-    return S % 128 == 0 and D % 64 == 0 and vmem < 8 * 1024 * 1024
+    return (
+        S % 128 == 0 and D % 64 == 0 and S >= 256
+        and vmem < 8 * 1024 * 1024
+    )

@@ -85,7 +85,7 @@ def test_fused_dropout_backward_runs():
 
 def test_attention_available_gating():
     assert A.attention_available(512, 64)
-    assert A.attention_available(128, 64)
+    assert not A.attention_available(128, 64)  # XLA einsum wins at small S
     assert not A.attention_available(100, 64)  # not 128-aligned
     assert not A.attention_available(512, 48)  # D not 64-aligned
     assert not A.attention_available(2048, 64)  # scores too big for VMEM

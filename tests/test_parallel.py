@@ -1,0 +1,62 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8)."""
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from eeg_multimodal_tpu.models import fusion
+from eeg_multimodal_tpu.parallel import mesh as mesh_mod
+from eeg_multimodal_tpu.parallel import sharding as shard_mod
+from eeg_multimodal_tpu.parallel.train import shard_trainer
+from eeg_multimodal_tpu.train.trainer import TrainConfig, Trainer
+from test_trainer import TINY_BERT, tiny_dataset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_factorize():
+    assert mesh_mod.factorize(8) == (2, 4)
+    assert mesh_mod.factorize(4) == (1, 4)
+    assert mesh_mod.factorize(2) == (1, 2)
+    assert mesh_mod.factorize(1) == (1, 1)
+    assert mesh_mod.factorize(16, max_model=4) == (4, 4)
+
+
+def test_param_pspec_rules():
+    assert shard_mod.param_pspec("bert/layers/3/attn/query/kernel") == P(None, "model")
+    assert shard_mod.param_pspec("bert/layers/3/attn/output/kernel") == P("model", None)
+    assert shard_mod.param_pspec("bert/layers/0/ffn/intermediate/kernel") == P(None, "model")
+    assert shard_mod.param_pspec("bert/layers/0/ffn/output/kernel") == P("model", None)
+    assert shard_mod.param_pspec("bert/embeddings/word") == P()
+    assert shard_mod.param_pspec("cross/layers/1/linear1/kernel") == P(None, "model")
+    assert shard_mod.param_pspec("cross/layers/1/self_attn/out_proj/kernel") == P("model", None)
+    assert shard_mod.param_pspec("DP") == P()
+    assert shard_mod.param_pspec("fc1/kernel") == P(None, "model")
+
+
+def test_sharded_trainer_epoch_runs_and_matches_unsharded():
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, learning_rate=1e-3, epochs=1)
+
+    tr_ref = Trainer(fc, tc)
+    out_ref = tr_ref.fit(tiny_dataset(8), tiny_dataset(4, seed=1), 1.0)
+
+    tr_sh = Trainer(fc, tc)
+    mesh = shard_trainer(tr_sh)
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    out_sh = tr_sh.fit(tiny_dataset(8), tiny_dataset(4, seed=1), 1.0)
+
+    # GSPMD must not change the math (same shuffles, keys, data)
+    assert abs(out_ref["history"][0]["train_loss"] - out_sh["history"][0]["train_loss"]) < 1e-3
+    assert abs(out_ref["history"][0]["test_acc"] - out_sh["history"][0]["test_acc"]) < 1e-6
+
+    # params really are distributed over the mesh
+    qk = tr_sh.params["bert"]["layers"][0]["attn"]["query"]["kernel"]
+    assert len(qk.sharding.device_set) > 1

@@ -65,6 +65,8 @@ class GetEmbedding:
         key = (process_model, coef_model)
         if key in self._encoders:
             return self._encoders[key]
+        # params are jit *arguments* (closing over them would bake ~350 MB
+        # of constants into the compile payload)
         if process_model == "clip":
             cfg = vit_mod.ViTConfig.for_coef(coef_model)
             if self.clip_weights and os.path.exists(self.clip_weights):
@@ -73,7 +75,8 @@ class GetEmbedding:
                 params, cfg = vit_mod.from_clip_state_dict(sd, cfg)
             else:
                 params = vit_mod.init(jax.random.PRNGKey(0), cfg)
-            fn = jax.jit(lambda imgs: vit_mod.encode_image(params, imgs, cfg))
+            params = jax.device_put(params)
+            jitted = jax.jit(lambda p, imgs: vit_mod.encode_image(p, imgs, cfg))
         elif process_model == "resnet":
             if self.resnet_weights and os.path.exists(self.resnet_weights):
                 with open(self.resnet_weights, "rb") as f:
@@ -81,9 +84,11 @@ class GetEmbedding:
                 params = resnet_mod.from_torchvision_state_dict(sd)
             else:
                 params = resnet_mod.init(jax.random.PRNGKey(0))
-            fn = jax.jit(lambda imgs: resnet_mod.features(params, imgs))
+            params = jax.device_put(params)
+            jitted = jax.jit(resnet_mod.features)
         else:
             raise ValueError(process_model)
+        fn = lambda imgs: jitted(params, imgs)
         self._encoders[key] = fn
         return fn
 

@@ -57,6 +57,12 @@ class FusionConfig:
     # Optional BertConfig override (must keep hidden_size=768); used for
     # small-model tests and from-scratch encoders.
     bert_config: Optional["bert_mod.BertConfig"] = None
+    # Route the DP block through the fused Pallas kernel (ops/dp_pallas.py):
+    # one VMEM pass for minmax + eps_hat + in-kernel Laplace sampling.
+    # Mathematically equal to the composed ops (the Gumbel stage is an
+    # identity); noise stream differs from jax.random. Off by default to
+    # keep the jax.random stream of the faithful path.
+    fused_dp_kernel: bool = False
 
     def bert_cfg(self):
         return self.bert_config or bert_mod.BertConfig.for_coef(self.bert_coef)
@@ -247,8 +253,8 @@ def apply(
     # post-concat fusion head stays f32 regardless of compute dtype: the DP
     # noise statistics and min-max normalization are precision-sensitive and
     # the (B, 2304) block is negligible next to the encoders.
-    feature = jnp.concatenate(parts, axis=1).astype(jnp.float32)
-    feature = dp_ops.minmax_normalize(feature)  # models.py:70-72
+    feature_raw = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    feature = dp_ops.minmax_normalize(feature_raw)  # models.py:70-72
     if return_features:
         # truncated forward: the 'feawei' feature-weight extraction path
         # (past_acc_feawei.py:103-124 returns the normalized concat)
@@ -256,7 +262,16 @@ def apply(
 
     mode = config.dp_mode
     if mode == "lapacian_dropout":
-        feature = dp_ops.lap_dropout(feature, params["DP"], epsilon, k_dp, hard)
+        if config.fused_dp_kernel:
+            from ..ops import dp_pallas
+
+            seed = jax.random.randint(k_dp, (1,), 0, 2**31 - 1, jnp.int32)
+            feature = dp_pallas.fused_lap_dropout(
+                feature_raw, params["DP"].astype(jnp.float32),
+                jnp.asarray(epsilon, jnp.float32), seed,
+            )
+        else:
+            feature = dp_ops.lap_dropout(feature, params["DP"], epsilon, k_dp, hard)
     elif mode == "lapacian_dropout_equal_weight":
         # ref models.py:399-405: nn.Dropout is train-only; Laplace always on
         k_eq_drop, k_eq_lap = jax.random.split(k_dp)

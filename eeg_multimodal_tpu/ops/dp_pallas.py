@@ -35,8 +35,9 @@ def _laplace_from_bits(shape):
     """Laplace(0,1) via inverse CDF of U(-0.5, 0.5):
     x = -sign(u) * ln(1 - 2|u|)."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # top 24 bits -> U[0,1) with exact f32 representation
-    u01 = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # top 24 bits -> U[0,1) with exact f32 representation; Mosaic has no
+    # uint32->f32 cast, so bitcast to int32 first (sign bit is clear)
+    u01 = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     u = u01 - 0.5
     mag = jnp.log1p(-2.0 * jnp.abs(u) + 1e-12)
     return -jnp.sign(u) * mag

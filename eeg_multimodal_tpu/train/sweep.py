@@ -59,7 +59,10 @@ class SweepRunner:
         self.steps = StepFunctions(fusion_cfg, train_cfg)
         s = self.steps
         self._vtrain = jax.jit(
-            jax.vmap(s._train_epoch, in_axes=(0, 0, 0, None, None, None, 0, 0))
+            jax.vmap(s._train_epoch, in_axes=(0, 0, 0, None, None, None, 0, 0)),
+            # donate stacked member states: without aliasing, S members'
+            # params + Adam moments double-buffer (~2.6 GB per member)
+            donate_argnums=(0, 1, 2),
         )
         self._veval = jax.jit(
             jax.vmap(s._eval_epoch, in_axes=(0, None, None, None, 0, 0))

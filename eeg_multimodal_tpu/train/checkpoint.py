@@ -53,6 +53,28 @@ def load_pytree(path: str):
     )
 
 
+# Optional orbax backend: async-capable, step-indexed checkpoints for long
+# runs (SURVEY §5's 'orbax-style checkpoint every N steps' plan). The pickle
+# backend above stays the default (no extra deps, torch-interop friendly).
+
+def save_pytree_orbax(path: str, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_pytree_orbax(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, like)
+        return ckptr.restore(path)
+
+
 # ---------------------------------------------------------------------------
 # torch state-dict round trip for fusion models
 # ---------------------------------------------------------------------------

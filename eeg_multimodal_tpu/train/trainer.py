@@ -161,16 +161,32 @@ class StepFunctions:
 
     # -- one eval epoch ------------------------------------------------------
     def _eval_epoch(self, params, data, idx, weight, epsilon, key):
+        """Stochastic eval; with n_eval > 1 each batch is evaluated under
+        n_eval independent noise draws vmapped over keys (the legacy
+        trainer's repeated-eval scheme, ref train.py:126-138) and per-sample
+        predictions are majority-voted while losses average."""
         n_batches = idx.shape[0]
-        step_keys = jax.random.split(key, n_batches)
+        n_eval = self.train_cfg.n_eval
+        step_keys = jax.random.split(key, n_batches * n_eval).reshape(
+            n_batches, n_eval, -1
+        )
 
         def step(_, xs):
-            b_idx, w, sk = xs
+            b_idx, w, sks = xs
             batch = gather_batch(data, b_idx)
-            loss, (acc, pred, logits) = self.loss_fn(
-                params, batch, w, epsilon, sk, hard=True, train=False
+
+            def one(k):
+                return self.loss_fn(
+                    params, batch, w, epsilon, k, hard=True, train=False
+                )
+
+            loss, (acc, pred, logits) = jax.vmap(one)(sks)
+            # majority vote across repeats; mean loss/acc/score
+            pred_maj = (pred.mean(axis=0) > 0.5).astype(pred.dtype)
+            return None, (
+                loss.mean(), acc.mean(), pred_maj, batch["labels"],
+                logits[..., 1].mean(axis=0), w,
             )
-            return None, (loss, acc, pred, batch["labels"], logits[..., 1], w)
 
         _, (losses, accs, preds, labels, scores, ws) = jax.lax.scan(
             step, None, (idx, weight, step_keys)

@@ -95,3 +95,16 @@ def test_step_timer_and_finite_guard():
 
     with pytest.raises(FloatingPointError):
         profiling.assert_finite({"a": jax.numpy.asarray([float("nan")])})
+
+
+def test_orbax_backend_round_trip(tmp_path):
+    import jax.numpy as jnp
+
+    from eeg_multimodal_tpu.train import checkpoint as C
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    path = str(tmp_path / "orbax_ckpt")
+    C.save_pytree_orbax(path, tree)
+    out = C.load_pytree_orbax(path, like=tree)
+    for x, y in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

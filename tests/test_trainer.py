@@ -136,3 +136,18 @@ def test_truncate_tokens_is_exact():
 
     a, b = truncate_pair(wide, wide, multiple=8)
     assert a.eeg_input.shape[1] == b.eeg_input.shape[1] == 8
+
+
+def test_n_eval_repeated_evaluation():
+    """n_eval > 1 averages stochastic eval repeats (majority-vote preds)."""
+    tr = make_trainer(epochs=1)
+    tr8 = make_trainer(epochs=1)
+    tr8.train_cfg = dataclasses.replace(tr8.train_cfg, n_eval=4)
+    tr8.steps = type(tr.steps)(tr8.fusion_cfg, tr8.train_cfg)
+    train, test = tiny_dataset(8), tiny_dataset(4, seed=1)
+    out1 = tr.fit(train, test, epsilon=0.05)
+    out4 = tr8.fit(train, test, epsilon=0.05)
+    for o in (out1, out4):
+        assert np.isfinite(o["history"][0]["test_loss"])
+    # repeated eval under heavy noise is a valid (generally different) estimate
+    assert out4["history"][0]["test_loss"] > 0

@@ -1,0 +1,85 @@
+"""CLI integration: run the real subcommands end-to-end on a synthetic data
+tree with a tiny BERT (CPU)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from eeg_multimodal_tpu import cli
+
+
+@pytest.fixture()
+def data_tree(tmp_path):
+    """Reference-layout tree: processed label CSVs + embedding pickles."""
+    rng = np.random.RandomState(0)
+    n = {"train": 10, "test": 6}
+    for split, count in n.items():
+        os.makedirs(tmp_path / "data" / "processed", exist_ok=True)
+        with open(tmp_path / "data" / "processed" / f"{split}_label.csv", "w") as f:
+            f.write("label\n")
+            for v in rng.randint(0, 2, count):
+                f.write(f"{v}\n")
+        # eeg txt pickles (BatchEncoding-dict list) and act img pickles
+        txt_dir = tmp_path / "data" / "embedding" / "EEG" / "txt" / "bert_bert_base_uncased"
+        img_dir = tmp_path / "data" / "embedding" / "act" / "img" / "clip_ViT_B_32"
+        os.makedirs(txt_dir, exist_ok=True)
+        os.makedirs(img_dir, exist_ok=True)
+        txt = [
+            {
+                "input_ids": np.concatenate(
+                    [rng.randint(1, 50, 6), np.zeros(506, np.int64)]
+                ).astype(np.int64),
+                "attention_mask": np.concatenate(
+                    [np.ones(6, np.int64), np.zeros(506, np.int64)]
+                ),
+            }
+            for _ in range(count)
+        ]
+        with open(txt_dir / f"{split}.pickle", "wb") as f:
+            pickle.dump(txt, f)
+        with open(img_dir / f"{split}.pickle", "wb") as f:
+            pickle.dump(rng.randn(count, 512).astype(np.float32), f)
+    return tmp_path
+
+
+def test_cli_train_runs_end_to_end(data_tree, monkeypatch):
+    """`cli train` on the synthetic tree with a tiny BERT."""
+    import dataclasses
+
+    import eeg_multimodal_tpu.models.fusion as F
+    from test_trainer import TINY_BERT
+
+    small = dataclasses.replace(TINY_BERT, max_position_embeddings=512)
+    orig = F.config_for
+
+    def small_config_for(*a, **kw):
+        return dataclasses.replace(orig(*a, **kw), bert_config=small)
+
+    monkeypatch.setattr(F, "config_for", small_config_for)
+    import eeg_multimodal_tpu.train.api as api_mod
+
+    monkeypatch.setattr(api_mod.fusion, "config_for", small_config_for)
+
+    rc = cli.main([
+        "train", "--data_root", str(data_tree), "-n", "1", "-bs", "4",
+        "-lr", "1e-3", "--dtype", "float32",
+        "--train_type", "citest", "--path_suffix", "run/",
+    ])
+    assert rc == 0
+    rec = (data_tree / "logs" / "citest" / "run" / "whole_record.txt").read_text()
+    assert rec.startswith("Epochs: 1")
+
+
+def test_cli_process_runs(tmp_path):
+    rng = np.random.RandomState(1)
+    data = np.concatenate(
+        [np.arange(20)[:, None], rng.randn(20, 55) * 10, rng.randint(0, 2, (20, 1))],
+        axis=1,
+    )
+    raw = tmp_path / "task_1.txt"
+    np.savetxt(raw, data)
+    out = tmp_path / "proc"
+    rc = cli.main(["process", str(raw), "--out", str(out)])
+    assert rc == 0
+    assert (out / "train_EEG.csv").exists()

@@ -54,7 +54,7 @@ class ResumableTrainer(Trainer):
     STATE_FILE = "train_state.pickle"
 
     def fit(self, train_data, test_data, epsilon, log_path=None,
-            model_path=None, echo=True):
+            model_path=None, echo=True, **kw):
         state_path = os.path.join(log_path, self.STATE_FILE) if log_path else None
         start_epoch = 0
         if state_path and os.path.exists(state_path):
@@ -65,76 +65,15 @@ class ResumableTrainer(Trainer):
             return {"history": [], "best": None, "f1_best": None,
                     "resumed_complete": True}
 
-        # run remaining epochs by adjusting the config window
-        orig_epochs = self.train_cfg.epochs
-        result_rows = []
-        f1_best = self.train_cfg.f1_best_init
-        best = None
-        for epoch in range(start_epoch, orig_epochs):
-            one = dataclasses.replace(self.train_cfg, epochs=1)
-            saved_cfg = self.train_cfg
-            self.train_cfg = one
-            # reuse Trainer.fit for a single epoch, preserving our epoch index
-            out = self._fit_single_epoch(
-                train_data, test_data, epsilon, epoch, log_path, model_path,
-                echo, f1_best,
-            )
-            self.train_cfg = saved_cfg
-            result_rows.append(out["row"])
-            if out["row"]["f1"] > f1_best:
-                f1_best = out["row"]["f1"]
-                best = out["row"]
-            if state_path:
-                save_train_state(state_path, self, epoch)
-        return {"history": result_rows, "best": best, "f1_best": f1_best}
-
-    def _fit_single_epoch(self, train_data, test_data, epsilon, epoch,
-                          log_path, model_path, echo, f1_best):
-        import time
-
-        import jax
-        import numpy as np
-
-        from ..data.datasets import epoch_indices
-        from ..utils.seeding import key_chain
-        from . import metrics as M
-        from .records import RunRecorder
-
-        cfg = self.train_cfg
-        recorder = RunRecorder(log_path, echo=echo) if log_path else None
-        train_dev = train_data.device_put()
-        test_dev = test_data.device_put()
-        t0 = time.time()
-        ek = jax.random.fold_in(key_chain(self.root_key, "epoch"), epoch)
-        k_shuffle, k_train, k_eval = jax.random.split(ek, 3)
-        idx, w = epoch_indices(k_shuffle, len(train_data), cfg.batch_size)
-        (self.params, self.dp_os, self.model_os, tr_loss, tr_acc) = (
-            self.steps.train_epoch(
-                self.params, self.dp_os, self.model_os,
-                train_dev, idx, w, epsilon, k_train,
-            )
+        hook = (
+            (lambda epoch: save_train_state(state_path, self, epoch))
+            if state_path else None
         )
-        eidx, ew = epoch_indices(k_eval, len(test_data), cfg.batch_size, shuffle=False)
-        te_loss, te_acc, preds, labels, _, ws = self.steps.eval_epoch(
-            self.params, test_dev, eidx, ew, epsilon, k_eval
+        return super().fit(
+            train_data, test_data, epsilon, log_path=log_path,
+            model_path=model_path, echo=echo, start_epoch=start_epoch,
+            epoch_end_hook=hook,
         )
-        sel = np.asarray(ws) > 0
-        f1 = M.f1_binary(np.asarray(preds)[sel], np.asarray(labels)[sel])
-        jax.block_until_ready(te_loss)
-        dt = time.time() - t0
-        row = dict(
-            epoch=epoch + 1, train_loss=float(tr_loss), train_acc=float(tr_acc),
-            test_loss=float(te_loss), test_acc=float(te_acc), f1=float(f1),
-            time_cost=dt,
-        )
-        rec = None
-        if recorder:
-            rec = recorder.epoch(epoch, tr_loss, tr_acc, te_loss, te_acc, f1, dt)
-        if f1 > f1_best and model_path:
-            ckpt.save_torch_checkpoint(model_path, self.params, self.fusion_cfg)
-            if recorder and rec:
-                recorder.best_record(rec)
-        return {"row": row}
 
 
 # ---------------------------------------------------------------------------

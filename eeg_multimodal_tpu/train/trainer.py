@@ -235,6 +235,41 @@ class Trainer:
         self.steps = StepFunctions(fusion_cfg, train_cfg)
         self.dp_os, self.model_os = self.steps.init_opt_states(params)
 
+    def run_epoch(self, epoch: int, train_dev, test_dev, n_train: int,
+                  n_test: int, epsilon: float) -> Dict[str, Any]:
+        """One train+eval epoch (base_train.py:175-235). Mutates the trainer
+        state; returns the epoch's metric row."""
+        cfg = self.train_cfg
+        t0 = time.time()
+        ek = jax.random.fold_in(key_chain(self.root_key, "epoch"), epoch)
+        k_shuffle, k_train, k_eval = jax.random.split(ek, 3)
+
+        idx, w = epoch_indices(k_shuffle, n_train, cfg.batch_size, shuffle=True)
+        (self.params, self.dp_os, self.model_os, tr_loss, tr_acc) = (
+            self.steps.train_epoch(
+                self.params, self.dp_os, self.model_os,
+                train_dev, idx, w, epsilon, k_train,
+            )
+        )
+
+        eidx, ew = epoch_indices(
+            k_eval, n_test, cfg.batch_size, shuffle=cfg.shuffle_eval
+        )
+        te_loss, te_acc, preds, labels, _, ws = self.steps.eval_epoch(
+            self.params, test_dev, eidx, ew, epsilon, k_eval
+        )
+        preds_np = np.asarray(preds)[np.asarray(ws) > 0]
+        labels_np = np.asarray(labels)[np.asarray(ws) > 0]
+        # ref passes (prediction, label); binary F1 is swap-symmetric
+        f1 = M.f1_binary(preds_np, labels_np)
+        jax.block_until_ready(te_loss)
+        return dict(
+            epoch=epoch + 1,
+            train_loss=float(tr_loss), train_acc=float(tr_acc),
+            test_loss=float(te_loss), test_acc=float(te_acc),
+            f1=float(f1), time_cost=time.time() - t0,
+        )
+
     def fit(
         self,
         train_data: MultiModalArrays,
@@ -243,6 +278,8 @@ class Trainer:
         log_path: Optional[str] = None,
         model_path: Optional[str] = None,
         echo: bool = True,
+        start_epoch: int = 0,
+        epoch_end_hook=None,
     ) -> Dict[str, Any]:
         cfg = self.train_cfg
         recorder = RunRecorder(log_path, echo=echo) if log_path else None
@@ -253,47 +290,18 @@ class Trainer:
         best_record = None
         history = []
 
-        for epoch in range(cfg.epochs):
-            t0 = time.time()
-            ek = key_chain(self.root_key, "epoch")
-            ek = jax.random.fold_in(ek, epoch)
-            k_shuffle, k_train, k_eval = jax.random.split(ek, 3)
-
-            idx, w = epoch_indices(k_shuffle, n_train, cfg.batch_size, shuffle=True)
-            (self.params, self.dp_os, self.model_os, tr_loss, tr_acc) = (
-                self.steps.train_epoch(
-                    self.params, self.dp_os, self.model_os,
-                    train_dev, idx, w, epsilon, k_train,
-                )
-            )
-
-            eidx, ew = epoch_indices(
-                k_eval, n_test, cfg.batch_size, shuffle=cfg.shuffle_eval
-            )
-            te_loss, te_acc, preds, labels, _, ws = self.steps.eval_epoch(
-                self.params, test_dev, eidx, ew, epsilon, k_eval
-            )
-            preds_np = np.asarray(preds)[np.asarray(ws) > 0]
-            labels_np = np.asarray(labels)[np.asarray(ws) > 0]
-            # ref passes (prediction, label); binary F1 is swap-symmetric
-            f1 = M.f1_binary(preds_np, labels_np)
-            jax.block_until_ready(te_loss)
-            time_cost = time.time() - t0
-
-            row = dict(
-                epoch=epoch + 1,
-                train_loss=float(tr_loss), train_acc=float(tr_acc),
-                test_loss=float(te_loss), test_acc=float(te_acc),
-                f1=float(f1), time_cost=time_cost,
-            )
+        for epoch in range(start_epoch, cfg.epochs):
+            row = self.run_epoch(epoch, train_dev, test_dev, n_train, n_test, epsilon)
             history.append(row)
             rec = None
             if recorder:
                 rec = recorder.epoch(
-                    epoch, tr_loss, tr_acc, te_loss, te_acc, f1, time_cost
+                    epoch, row["train_loss"], row["train_acc"],
+                    row["test_loss"], row["test_acc"], row["f1"],
+                    row["time_cost"],
                 )
-            if f1 > f1_best:
-                f1_best = f1
+            if row["f1"] > f1_best:
+                f1_best = row["f1"]
                 best_record = row
                 if model_path:
                     ckpt.save_torch_checkpoint(
@@ -301,5 +309,7 @@ class Trainer:
                     )
                 if recorder and rec:
                     recorder.best_record(rec)
+            if epoch_end_hook is not None:
+                epoch_end_hook(epoch)
 
         return {"history": history, "best": best_record, "f1_best": f1_best}

@@ -129,3 +129,27 @@ def test_alpha_sweep_driver_values():
     assert len(a) == 5
     import numpy as np
     assert abs(a[0] - 0.01) < 1e-9 and abs(a[-1] - np.exp(2)) < 1e-9
+
+
+def test_bench_synthetic_fallback(monkeypatch, tmp_path):
+    """bench.load_data must work without the reference tree (synthetic)."""
+    import bench
+
+    monkeypatch.setattr(bench, "REF", str(tmp_path / "nope"))
+    train, test = bench.load_data()
+    assert len(train) == bench.N_TRAIN and len(test) == bench.N_EVAL
+    assert train.eeg_input.shape == (bench.N_TRAIN, 512)
+
+
+def test_dual_logging_handlers(tmp_path):
+    from eeg_multimodal_tpu.utils.logging import setup_run_logging
+
+    logger = setup_run_logging(str(tmp_path))
+    logger.debug("dbg-line")
+    logger.info("info-line")
+    for h in logger.handlers:
+        h.flush()
+    dbg = (tmp_path / "debug.log").read_text()
+    info = (tmp_path / "info.log").read_text()
+    assert "dbg-line" in dbg and "info-line" in dbg
+    assert "info-line" in info and "dbg-line" not in info

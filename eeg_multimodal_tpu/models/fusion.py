@@ -275,19 +275,10 @@ def apply(
         else:
             feature = dp_ops.lap_dropout(feature, params["DP"], epsilon, k_dp, hard)
     elif mode == "lapacian_dropout_equal_weight":
-        # ref models.py:399-405: nn.Dropout is train-only; Laplace always on
-        k_eq_drop, k_eq_lap = jax.random.split(k_dp)
-        if train:
-            keep = 1.0 - config.dropout_rate
-            mask = jax.random.bernoulli(k_eq_drop, keep, feature.shape)
-            feature = jnp.where(mask, feature / keep, 0.0)
-        scalar_eps_hat = 1.0 / jnp.log(
-            (jnp.exp(epsilon) - config.dropout_rate) / (1.0 - config.dropout_rate)
+        # ref models.py:399-405; one implementation, train-gated nn.Dropout
+        feature = dp_ops.equal_weight_dp(
+            feature, epsilon, config.dropout_rate, k_dp, train
         )
-        noise = dp_ops.laplace_noise(
-            k_eq_lap, (feature.shape[0], 1), scale=1.0 / scalar_eps_hat, dtype=feature.dtype
-        )
-        feature = feature + noise
     elif mode == "feature_all_lap":
         # PriConcat (main_0425.py:111-121); minmax already applied above
         noise = dp_ops.laplace_noise(

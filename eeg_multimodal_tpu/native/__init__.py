@@ -63,12 +63,18 @@ class NativeWordPiece:
     as data.tokenizer.WordPiece (ids + attention mask, [CLS]/[SEP]/pad)."""
 
     def __init__(self, vocab: dict, cls_id: int, sep_id: int, pad_id: int,
-                 unk_id: int):
+                 unk_id: int, word_memo: Optional[dict] = None):
         lib = _ensure_built()
         if lib is None:
             raise RuntimeError(f"native build unavailable: {_build_error}")
         self._lib = lib
-        blob = "\n".join(f"{k}\t{v}" for k, v in vocab.items()).encode()
+        lines = [f"{k}\t{v}" for k, v in vocab.items()]
+        # memo entries are comma-terminated id lists (see wp_create): the
+        # exact word->ids table RecoveredWordPiece carries
+        for w, run in (word_memo or {}).items():
+            if run:
+                lines.append(f"{w}\t{','.join(str(i) for i in run)},")
+        blob = "\n".join(lines).encode()
         self._h = lib.wp_create(blob, cls_id, sep_id, pad_id, unk_id)
         self.pad_id = pad_id
 
@@ -96,16 +102,11 @@ class NativeWordPiece:
 
     @staticmethod
     def from_wordpiece(tok) -> "NativeWordPiece":
-        """Build from a data.tokenizer.WordPiece (incl. RecoveredWordPiece —
-        its word memo entries are injected as pseudo-pieces only when they
-        are single ids; multi-id memo words fall back to greedy, which the
-        recovered piece vocab reproduces)."""
-        vocab = dict(tok.vocab)
-        memo = getattr(tok, "word_memo", None)
-        if memo:
-            for w, run in memo.items():
-                if len(run) == 1:
-                    vocab.setdefault(w, run[0])
+        """Build from a data.tokenizer.WordPiece. A RecoveredWordPiece's
+        word memo is passed through whole (exact id runs for observed words,
+        matching the Python engine verbatim); unseen words use greedy
+        longest-match over the piece vocab, as in Python."""
         return NativeWordPiece(
-            vocab, tok.cls_id, tok.sep_id, tok.pad_id, tok.unk_id
+            dict(tok.vocab), tok.cls_id, tok.sep_id, tok.pad_id, tok.unk_id,
+            word_memo=getattr(tok, "word_memo", None),
         )

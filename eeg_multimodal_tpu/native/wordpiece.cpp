@@ -28,11 +28,22 @@ namespace {
 
 struct WordPiece {
   std::unordered_map<std::string, int32_t> vocab;
+  // exact word -> id-sequence memo (RecoveredWordPiece.word_memo): observed
+  // words must reproduce their recorded HF id runs verbatim, which greedy
+  // matching over the recovered piece inventory cannot always do.
+  std::unordered_map<std::string, std::vector<int32_t>> memo;
   int32_t cls_id, sep_id, pad_id, unk_id;
   size_t max_piece_chars = 1;
 
   // greedy longest-match over one word (no whitespace). Appends ids.
   void word(const char* s, size_t n, std::vector<int32_t>& out) const {
+    if (!memo.empty()) {
+      auto mit = memo.find(std::string(s, n));
+      if (mit != memo.end()) {
+        out.insert(out.end(), mit->second.begin(), mit->second.end());
+        return;
+      }
+    }
     size_t start = 0;
     size_t before = out.size();
     std::string buf;
@@ -106,10 +117,26 @@ void* wp_create(const char* vocab_blob, int cls_id, int sep_id, int pad_id,
     const char* nl = std::strchr(tab, '\n');
     if (!nl) nl = tab + std::strlen(tab);
     std::string surface(p, tab - p);
-    int32_t id = (int32_t)std::strtol(tab + 1, nullptr, 10);
-    size_t chars = surface.rfind("##", 0) == 0 ? surface.size() - 2 : surface.size();
-    if (chars > wp->max_piece_chars) wp->max_piece_chars = chars;
-    wp->vocab.emplace(std::move(surface), id);
+    // value is either a single id ("piece\tid") or a comma-terminated id
+    // list ("word\tid1,id2,") — the latter is a word-memo entry
+    std::string value(tab + 1, nl - (tab + 1));
+    if (value.find(',') != std::string::npos) {
+      std::vector<int32_t> run;
+      const char* q = value.c_str();
+      while (*q) {
+        char* end = nullptr;
+        long v = std::strtol(q, &end, 10);
+        if (end == q) break;
+        run.push_back((int32_t)v);
+        q = (*end == ',') ? end + 1 : end;
+      }
+      if (!run.empty()) wp->memo.emplace(std::move(surface), std::move(run));
+    } else {
+      int32_t id = (int32_t)std::strtol(value.c_str(), nullptr, 10);
+      size_t chars = surface.rfind("##", 0) == 0 ? surface.size() - 2 : surface.size();
+      if (chars > wp->max_piece_chars) wp->max_piece_chars = chars;
+      wp->vocab.emplace(std::move(surface), id);
+    }
     p = *nl ? nl + 1 : nl;
   }
   return wp;

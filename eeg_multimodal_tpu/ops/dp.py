@@ -104,13 +104,17 @@ def lap_dropout_fast(feature, dp_param, epsilon, key, hard: bool):
     return feature + noise * eps_hat(w, epsilon).astype(feature.dtype)
 
 
-def equal_weight_dp(feature, epsilon, dropout_rate, key):
-    """Equal-weight ablation (ref: models.py:399-405): nn.Dropout then a
-    per-*sample* Laplace draw with scalar eps_hat, broadcast over features."""
+def equal_weight_dp(feature, epsilon, dropout_rate, key, train: bool):
+    """Equal-weight ablation (ref: models.py:399-405), the single source of
+    truth for the scheme (used by fusion.apply): ``nn.Dropout`` — which torch
+    applies only in training mode — then a per-*sample* Laplace draw with
+    scalar eps_hat broadcast over features (Laplace is applied in eval too;
+    the reference's eval forward keeps it, base_train.py:484-506)."""
     k_drop, k_lap = jax.random.split(key)
-    keep = 1.0 - dropout_rate
-    mask = jax.random.bernoulli(k_drop, keep, feature.shape)
-    feature = jnp.where(mask, feature / keep, 0.0)
+    if train:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(k_drop, keep, feature.shape)
+        feature = jnp.where(mask, feature / keep, 0.0)
     scalar_eps_hat = 1.0 / jnp.log((jnp.exp(epsilon) - dropout_rate) / (1.0 - dropout_rate))
     lap_sigma = 1.0 / scalar_eps_hat
     noise = laplace_noise(k_lap, (feature.shape[0], 1), scale=lap_sigma, dtype=feature.dtype)

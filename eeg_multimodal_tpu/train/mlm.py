@@ -1,0 +1,241 @@
+"""Masked-language-model pretraining of the BERT encoder on sensor text.
+
+Why this exists: the reference's headline accuracy (0.956 acc / 0.967 F1,
+python/logs/demo/DPMLD/best_record.txt) starts from pretrained HF
+``BertModel.from_pretrained`` weights (ref: models.py:40). This environment
+is zero-egress, so the pretrained init must be *manufactured*: the corpus the
+encoder sees is tiny and purely numeric (space-joined ints,
+ref: get_embedding.py:113-116), which makes domain MLM pretraining on the
+serialized sensor rows cheap — a few thousand steps on one TPU chip — and an
+effective substitute for the generic English init.
+
+Recipe (standard BERT MLM, Devlin et al. 2018, re-derived for this corpus):
+15% of non-special positions are selected; 80% of those become [MASK], 10% a
+random token, 10% stay; loss is cross-entropy on the selected positions with
+the decoder tied to the word-embedding table.
+
+TPU-first: the whole corpus lives in HBM; a training "epoch" is one
+``lax.scan`` over randomly-drawn batch indices; masking is sampled in-jit
+from threaded PRNG keys. Composes with ``data.compact_vocab`` — pass the
+compact vocab size and mask id and the softmax is ~1-2k wide instead of 30522.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import bert as bert_mod
+from ..models.layers import linear, MATMUL_PRECISION
+
+
+@dataclasses.dataclass(frozen=True)
+class MLMConfig:
+    mask_prob: float = 0.15
+    mask_token_frac: float = 0.8  # of selected: replaced by [MASK]
+    random_token_frac: float = 0.1  # of selected: replaced by a random id
+    batch_size: int = 64
+    learning_rate: float = 1e-4
+    warmup_steps: int = 200
+    total_steps: int = 6000
+    weight_decay: float = 0.01
+    seed: int = 980616
+    # token ids in the id space the corpus uses (compact or full)
+    mask_id: int = 103
+    cls_id: int = 101
+    sep_id: int = 102
+    pad_id: int = 0
+    log_every: int = 200
+
+
+# -- MLM head (HF BertOnlyMLMHead semantics: dense -> gelu -> LN -> tied decoder)
+def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32):
+    H = config.hidden_size
+    std = config.initializer_range
+    k1, _ = jax.random.split(key)
+    return {
+        "transform": {
+            "kernel": std * jax.random.normal(k1, (H, H), dtype),
+            "bias": jnp.zeros((H,), dtype),
+        },
+        "ln": {"scale": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
+        "decoder_bias": jnp.zeros((config.vocab_size,), dtype),
+    }
+
+
+def mlm_logits(bert_params, head, input_ids, attention_mask, config, dropout_key):
+    seq, _ = bert_mod.apply(
+        bert_params, input_ids, attention_mask, config, dropout_key=dropout_key
+    )
+    h = jax.nn.gelu(linear(head["transform"], seq), approximate=False)
+    h = bert_mod._layer_norm(head["ln"], h, config.layer_norm_eps)
+    word = bert_params["embeddings"]["word"]
+    logits = (
+        jnp.einsum(
+            "bsh,vh->bsv", h, word,
+            preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        )
+        + head["decoder_bias"]
+    )
+    return logits
+
+
+def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int):
+    """In-jit BERT masking. Returns (corrupted_ids, labels, select_mask)."""
+    k_sel, k_kind, k_rand = jax.random.split(key, 3)
+    special = (
+        (input_ids == cfg.cls_id)
+        | (input_ids == cfg.sep_id)
+        | (attention_mask == 0)
+    )
+    r = jax.random.uniform(k_sel, input_ids.shape)
+    selected = (r < cfg.mask_prob) & ~special
+    kind = jax.random.uniform(k_kind, input_ids.shape)
+    use_mask = kind < cfg.mask_token_frac
+    use_rand = (kind >= cfg.mask_token_frac) & (
+        kind < cfg.mask_token_frac + cfg.random_token_frac
+    )
+    rand_ids = jax.random.randint(k_rand, input_ids.shape, 0, vocab_size, input_ids.dtype)
+    corrupted = jnp.where(selected & use_mask, cfg.mask_id, input_ids)
+    corrupted = jnp.where(selected & use_rand, rand_ids, corrupted)
+    return corrupted, input_ids, selected
+
+
+def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key):
+    k_mask, k_drop = jax.random.split(key)
+    corrupted, labels, selected = mask_tokens(
+        k_mask, batch_ids, batch_mask, cfg, bert_cfg.vocab_size
+    )
+    logits = mlm_logits(bert_params, head, corrupted, batch_mask, bert_cfg, k_drop)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = selected.astype(jnp.float32)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+class MLMPretrainer:
+    """Scan-based MLM pretraining over a device-resident corpus."""
+
+    def __init__(
+        self,
+        bert_cfg: bert_mod.BertConfig,
+        cfg: MLMConfig = MLMConfig(),
+        bert_params=None,
+        dtype=jnp.float32,
+    ):
+        self.bert_cfg = bert_cfg
+        self.cfg = cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        k_bert, k_head = jax.random.split(key)
+        self.bert_params = (
+            bert_params if bert_params is not None else bert_mod.init(k_bert, bert_cfg, dtype)
+        )
+        self.head = head_init(k_head, bert_cfg, dtype)
+        warmup = min(cfg.warmup_steps, max(1, cfg.total_steps // 2))
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, warmup, cfg.total_steps
+        )
+        self.opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+        self.opt_state = self.opt.init({"bert": self.bert_params, "head": self.head})
+        self._chunk = None
+
+    def _make_chunk(self, corpus_ids, corpus_mask):
+        cfg, bert_cfg, opt = self.cfg, self.bert_cfg, self.opt
+
+        def loss_fn(params, b_ids, b_mask, key):
+            return mlm_loss(
+                params["bert"], params["head"], b_ids, b_mask, bert_cfg, cfg, key
+            )
+
+        @jax.jit
+        def run_chunk(params, opt_state, key, n_steps_arr):
+            n = n_steps_arr.shape[0]
+            keys = jax.random.split(key, n)
+
+            def step(carry, k):
+                params, opt_state = carry
+                k_batch, k_loss = jax.random.split(k)
+                idx = jax.random.randint(
+                    k_batch, (cfg.batch_size,), 0, corpus_ids.shape[0]
+                )
+                b_ids, b_mask = corpus_ids[idx], corpus_mask[idx]
+                loss, g = jax.value_and_grad(loss_fn)(params, b_ids, b_mask, k_loss)
+                upd, opt_state = opt.update(g, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), keys
+            )
+            return params, opt_state, losses
+
+        return run_chunk
+
+    def fit(self, corpus_ids: np.ndarray, corpus_mask: np.ndarray, echo: bool = True):
+        """Run cfg.total_steps MLM steps; returns (bert_params, history)."""
+        cfg = self.cfg
+        ids_dev = jax.device_put(jnp.asarray(corpus_ids, jnp.int32))
+        mask_dev = jax.device_put(jnp.asarray(corpus_mask, jnp.int32))
+        run_chunk = self._make_chunk(ids_dev, mask_dev)
+        params = {"bert": self.bert_params, "head": self.head}
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        history = []
+        done = 0
+        t0 = time.time()
+        while done < cfg.total_steps:
+            n = min(cfg.log_every, cfg.total_steps - done)
+            key, sub = jax.random.split(key)
+            params, self.opt_state, losses = run_chunk(
+                params, self.opt_state, sub, jnp.zeros((n,))
+            )
+            done += n
+            loss = float(losses[-50:].mean())
+            history.append({"step": done, "loss": loss})
+            if echo:
+                print(
+                    f"[mlm] step {done}/{cfg.total_steps} loss {loss:.4f} "
+                    f"({time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+        self.bert_params, self.head = params["bert"], params["head"]
+        return self.bert_params, history
+
+    def eval_loss(self, corpus_ids, corpus_mask, n_batches: int = 20) -> float:
+        """Mean MLM loss over held-out rows (fixed key per batch)."""
+        cfg = self.cfg
+        ids = jnp.asarray(corpus_ids, jnp.int32)
+        mask = jnp.asarray(corpus_mask, jnp.int32)
+
+        @jax.jit
+        def one(params, key):
+            idx = jax.random.randint(key, (cfg.batch_size,), 0, ids.shape[0])
+            return mlm_loss(
+                params["bert"], params["head"], ids[idx], mask[idx],
+                self.bert_cfg, cfg, key,
+            )
+
+        params = {"bert": self.bert_params, "head": self.head}
+        key = jax.random.PRNGKey(0)
+        losses = [
+            float(one(params, jax.random.fold_in(key, i))) for i in range(n_batches)
+        ]
+        return float(np.mean(losses))
+
+
+def build_corpus(
+    token_dicts, max_len: Optional[int] = None, multiple: int = 128
+):
+    """Stack {input_ids, attention_mask} dicts into one corpus, truncated to
+    the longest valid row rounded up to ``multiple`` (same exact-truncation
+    argument as data.datasets.truncate_tokens)."""
+    ids = np.concatenate([np.asarray(t["input_ids"]) for t in token_dicts])
+    mask = np.concatenate([np.asarray(t["attention_mask"]) for t in token_dicts])
+    if max_len is None:
+        longest = int(mask.sum(axis=1).max())
+        max_len = min(-(-longest // multiple) * multiple, ids.shape[1])
+    return ids[:, :max_len].astype(np.int32), mask[:, :max_len].astype(np.int32)

@@ -3,6 +3,7 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 import jax
 
 from eeg_multimodal_tpu.experiments import drivers as drv
@@ -45,6 +46,7 @@ def test_driver_grids_match_reference():
     assert len(privacy_utility_frontier()) == 5
 
 
+@pytest.mark.slow
 def test_facade_train_on_writes_reference_layout(tmp_path):
     job = TrainAndTest(
         batch_size=4, learning_rate=1e-3, epochs=1,
@@ -60,6 +62,7 @@ def test_facade_train_on_writes_reference_layout(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "demo" / "DPMLD" / "whole_record.txt")
 
 
+@pytest.mark.slow
 def test_sweep_two_members(tmp_path):
     fc = dataclasses.replace(
         fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
@@ -84,6 +87,7 @@ def test_sweep_two_members(tmp_path):
     assert os.path.exists(tmp_path / "sweep" / "eps0.1_seed980616" / "whole_record.txt")
 
 
+@pytest.mark.slow
 def test_sweep_seed_variation():
     fc = dataclasses.replace(
         fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT

@@ -43,6 +43,7 @@ def data_tree(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cli_train_runs_end_to_end(data_tree, monkeypatch):
     """`cli train` on the synthetic tree with a tiny BERT."""
     import dataclasses

@@ -140,8 +140,21 @@ def test_per_sample_laplace_broadcasts_one_draw_per_row():
 def test_equal_weight_dp_shapes_and_scale():
     key = jax.random.PRNGKey(9)
     x = jnp.ones((8, 32))
-    out = dp.equal_weight_dp(x, epsilon=0.1, dropout_rate=0.5, key=key)
+    out = dp.equal_weight_dp(x, epsilon=0.1, dropout_rate=0.5, key=key, train=True)
     assert out.shape == (8, 32)
+
+
+def test_equal_weight_dp_eval_skips_dropout():
+    """Eval semantics: torch nn.Dropout is identity in eval mode, the Laplace
+    noise stays on (models.py:399-405 under model.eval()). Per-sample noise is
+    constant across features, so eval output minus input is rank-1."""
+    key = jax.random.PRNGKey(9)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 32).astype(np.float32))
+    out = np.asarray(dp.equal_weight_dp(x, epsilon=0.1, dropout_rate=0.5, key=key, train=False))
+    delta = out - np.asarray(x)
+    # no zeros introduced (no dropout) and noise broadcast per sample
+    np.testing.assert_allclose(delta, np.broadcast_to(delta[:, :1], delta.shape), rtol=1e-5)
+    assert (out != 0).all()
 
 
 def test_gumbel_dropout_scaling():

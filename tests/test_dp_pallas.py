@@ -1,6 +1,7 @@
 """Fused DP-block Pallas kernel: parity with the composed jnp ops
 (deterministic parts exact; noise parts statistical) and gradient checks."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +84,7 @@ def test_fused_jits_and_vmaps():
     assert outs.shape == (2, 4, 128)
 
 
+@pytest.mark.slow
 def test_fusion_with_fused_dp_kernel():
     """The model path with fused_dp_kernel=True trains (fwd+grad finite) and
     matches the composed path's deterministic part."""

@@ -5,6 +5,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 from eeg_multimodal_tpu.models import fusion
 from eeg_multimodal_tpu.train import legacy
@@ -19,6 +20,7 @@ def tiny_cfg(**kw):
     )
 
 
+@pytest.mark.slow
 def test_metric_trainer_n_eval_repeats(tmp_path):
     cfg = legacy.MetricTrainConfig(
         batch_size=4, n_epochs=2, n_eval=3, n_para=2,
@@ -36,6 +38,7 @@ def test_metric_trainer_n_eval_repeats(tmp_path):
     assert os.path.exists(tmp_path / "exp" / "debug.log") is False  # echo off
 
 
+@pytest.mark.slow
 def test_pri_gumbel_pretrainer(tmp_path):
     pcfg = legacy.PriGumbelConfig(
         epochs=2, batch_size=4, learning_rate=1e-3, alpha=2.0, epsilon=0.1

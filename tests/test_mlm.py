@@ -1,0 +1,162 @@
+"""Compact-vocab exactness and MLM pretraining behavior."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eeg_multimodal_tpu.data import datasets as D
+from eeg_multimodal_tpu.data.compact_vocab import (
+    CompactVocab,
+    build_compact_vocab,
+    remap_pairing,
+    MASK_ID,
+    PAD_ID,
+    UNK_ID,
+)
+from eeg_multimodal_tpu.models import bert as bert_mod
+from eeg_multimodal_tpu.train import mlm
+
+
+def toy_ids(key, n=16, s=24, vocab=200):
+    ids = np.array(jax.random.randint(key, (n, s), 104, vocab))
+    ids[:, 0] = 101
+    lens = np.asarray(jax.random.randint(jax.random.fold_in(key, 1), (n,), 6, s))
+    mask = np.zeros((n, s), np.int32)
+    for i, L in enumerate(lens):
+        ids[i, L - 1] = 102
+        ids[i, L:] = PAD_ID
+        mask[i, :L] = 1
+    return ids.astype(np.int32), mask
+
+
+class TestCompactVocab:
+    def test_roundtrip_and_specials(self):
+        ids, mask = toy_ids(jax.random.PRNGKey(0))
+        cv = build_compact_vocab([ids])
+        assert cv.size <= 200
+        # specials always present
+        for sid in (PAD_ID, UNK_ID, 101, 102, MASK_ID):
+            cv.compact_id(sid)
+        assert cv.pad_id == 0  # sorted ascending keeps PAD at 0
+        new = cv.remap(ids)
+        assert new.max() < cv.size
+        assert np.array_equal(cv.unmap(new), ids)
+
+    def test_gather_equality(self):
+        """compact_table[remap(ids)] == full_table[ids] bitwise."""
+        ids, _ = toy_ids(jax.random.PRNGKey(1))
+        cv = build_compact_vocab([ids], full_vocab=512)
+        full = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (512, 8)))
+        compact = cv.compact_embeddings(full)
+        assert compact.shape == (cv.size, 8)
+        assert np.array_equal(compact[cv.remap(ids)], full[ids])
+
+    def test_expand_inverse(self):
+        ids, _ = toy_ids(jax.random.PRNGKey(3))
+        cv = build_compact_vocab([ids], full_vocab=512)
+        compact = np.random.default_rng(0).normal(size=(cv.size, 4)).astype(np.float32)
+        full = cv.expand_embeddings(compact)
+        assert full.shape == (512, 4)
+        assert np.array_equal(cv.compact_embeddings(full), compact)
+        # unused rows are fill
+        unused = np.setdiff1d(np.arange(512), cv.new_to_old)
+        assert np.all(full[unused] == 0.0)
+
+    def test_unknown_id_maps_to_unk(self):
+        cv = CompactVocab.from_ids(np.asarray([200, 201]), full_vocab=300)
+        out = cv.remap(np.asarray([200, 250]))
+        assert out[0] == cv.compact_id(200)
+        assert out[1] == cv.compact_id(UNK_ID)
+
+    def test_remap_pairing_only_txt_streams(self):
+        ids, mask = toy_ids(jax.random.PRNGKey(4))
+        emb = np.random.default_rng(1).normal(size=(16, 512)).astype(np.float32)
+        arrays = D.build_pairing(
+            "ti", np.zeros(16, np.int32),
+            eeg_txt={"input_ids": ids, "attention_mask": mask}, act_img=emb,
+        )
+        cv = build_compact_vocab([ids])
+        out = remap_pairing(arrays, cv)
+        assert np.array_equal(cv.unmap(out.eeg_input), arrays.eeg_input)
+        assert np.array_equal(out.act_input, arrays.act_input)
+
+    def test_save_load(self, tmp_path):
+        ids, _ = toy_ids(jax.random.PRNGKey(5))
+        cv = build_compact_vocab([ids])
+        path = str(tmp_path / "cv.npz")
+        cv.save(path)
+        cv2 = CompactVocab.load(path)
+        assert np.array_equal(cv2.new_to_old, cv.new_to_old)
+        assert cv2.full_vocab == cv.full_vocab
+
+
+TINY = bert_mod.BertConfig(
+    vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+    intermediate_size=64, max_position_embeddings=32,
+)
+
+
+class TestMLM:
+    def test_mask_statistics(self):
+        cfg = mlm.MLMConfig(mask_id=5, cls_id=1, sep_id=2, pad_id=0)
+        key = jax.random.PRNGKey(0)
+        ids = jnp.full((64, 32), 10, jnp.int32).at[:, 0].set(1).at[:, -4].set(2)
+        mask = jnp.ones((64, 32), jnp.int32).at[:, -3:].set(0)
+        corrupted, labels, selected = mlm.mask_tokens(key, ids, mask, cfg, 64)
+        sel = np.asarray(selected)
+        # specials and padding never selected
+        assert not sel[:, 0].any() and not sel[:, -4:].any()
+        frac = sel[:, 1:-4].mean()
+        assert 0.10 < frac < 0.20
+        # ~80% of selected become [MASK]
+        m = np.asarray(corrupted)[sel] == 5
+        assert 0.65 < m.mean() < 0.95
+        # labels are the original ids
+        assert np.array_equal(np.asarray(labels), np.asarray(ids))
+
+    def test_loss_decreases(self):
+        ids, mask = toy_ids(jax.random.PRNGKey(7), n=32, s=16, vocab=60)
+        # re-range ids into the tiny vocab: use compact remap
+        cv = build_compact_vocab([ids], full_vocab=512)
+        cids = cv.remap(ids)
+        cfg = mlm.MLMConfig(
+            batch_size=16, total_steps=60, warmup_steps=5, log_every=30,
+            learning_rate=3e-3, mask_id=cv.mask_id, cls_id=cv.cls_id,
+            sep_id=cv.sep_id, pad_id=cv.pad_id,
+        )
+        tiny = bert_mod.BertConfig(
+            vocab_size=cv.size, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=16,
+        )
+        trainer = mlm.MLMPretrainer(tiny, cfg)
+        _, history = trainer.fit(cids, mask[:, :16], echo=False)
+        assert history[-1]["loss"] < history[0]["loss"]
+        assert np.isfinite(trainer.eval_loss(cids, mask[:, :16], n_batches=2))
+
+    def test_build_corpus_truncates(self):
+        ids, mask = toy_ids(jax.random.PRNGKey(8), n=8, s=40)
+        c_ids, c_mask = mlm.build_corpus(
+            [{"input_ids": ids, "attention_mask": mask}] * 2, multiple=16
+        )
+        assert c_ids.shape[0] == 16
+        longest = int(mask.sum(1).max())
+        assert c_ids.shape[1] == min(-(-longest // 16) * 16, ids.shape[1])
+        assert (c_mask.sum(1) == np.concatenate([mask.sum(1)] * 2)).all()
+
+    def test_mlm_logits_shape_and_tied_decoder(self):
+        key = jax.random.PRNGKey(9)
+        params = bert_mod.init(key, TINY)
+        head = mlm.head_init(jax.random.fold_in(key, 1), TINY)
+        ids = jnp.ones((2, 8), jnp.int32)
+        mask = jnp.ones((2, 8), jnp.int32)
+        logits = mlm.mlm_logits(params, head, ids, mask, TINY, None)
+        assert logits.shape == (2, 8, TINY.vocab_size)
+        # decoder weight is tied to the word table: zeroing the table
+        # collapses every logit to the decoder bias
+        params2 = jax.tree_util.tree_map(lambda x: x, params)
+        params2["embeddings"]["word"] = params["embeddings"]["word"] * 0.0
+        logits2 = mlm.mlm_logits(params2, head, ids, mask, TINY, None)
+        assert np.allclose(
+            np.asarray(logits2),
+            np.broadcast_to(np.asarray(head["decoder_bias"]), logits2.shape),
+        )

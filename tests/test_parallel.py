@@ -39,6 +39,7 @@ def test_param_pspec_rules():
     assert shard_mod.param_pspec("fc1/kernel") == P(None, "model")
 
 
+@pytest.mark.slow
 def test_sharded_trainer_epoch_runs_and_matches_unsharded():
     fc = dataclasses.replace(
         fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT

@@ -3,6 +3,7 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 import jax
 
 from eeg_multimodal_tpu.models import fusion
@@ -18,6 +19,7 @@ def tiny_cfg(dp_mode="lapacian_dropout"):
     )
 
 
+@pytest.mark.slow
 def test_save_load_train_state(tmp_path):
     tr = Trainer(tiny_cfg(), TrainConfig(batch_size=4, epochs=1, learning_rate=1e-3))
     tr.fit(tiny_dataset(8), tiny_dataset(4, seed=1), epsilon=1.0)
@@ -33,6 +35,7 @@ def test_save_load_train_state(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resumable_trainer_resumes(tmp_path):
     log = str(tmp_path / "run")
     tc = TrainConfig(batch_size=4, epochs=2, learning_rate=1e-3)
@@ -54,6 +57,7 @@ def test_resumable_trainer_resumes(tmp_path):
     assert out3["history"][0]["epoch"] == 3
 
 
+@pytest.mark.slow
 def test_pretrain_finetune_pipeline(tmp_path):
     cfg = P.PipelineConfig(
         epsilon=0.5, pretrain_epochs=1, finetune_epochs=1,

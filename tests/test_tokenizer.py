@@ -125,3 +125,65 @@ def test_recovery_against_reference_pickle():
     # digits anchor (bert-base-uncased): '2' == 1016, '-' == 1011
     assert rec.vocab.get("2") == 1016
     assert rec.vocab.get("-") == 1011
+
+
+def test_default_tokenizer_for_coef_uncased_is_packaged_recovered():
+    tok = T.default_tokenizer_for_coef("bert-base-uncased")
+    assert isinstance(tok, T.RecoveredWordPiece)
+    # HF bert-base-uncased anchors
+    assert tok.vocab.get("2") == 1016
+    assert tok.vocab.get("-") == 1011
+    assert tok.cls_id == 101 and tok.sep_id == 102 and tok.pad_id == 0
+    # covers arbitrary integers without UNK (digits + continuations present)
+    for d in "0123456789":
+        assert d in tok.vocab and "##" + d in tok.vocab
+    assert tok.unk_id not in tok.wordpiece("91827364455")
+
+
+def test_default_tokenizer_for_coef_cased_falls_back_to_synthetic():
+    tok = T.default_tokenizer_for_coef("bert-base-cased")
+    syn = T.synthetic_numeric_vocab()
+    assert tok.vocab == syn.vocab
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference tree absent")
+def test_packaged_vocab_reproduces_reference_pickle_byte_exact():
+    """The packaged recovered_vocab_uncased.json must reproduce the
+    reference's committed tokenization verbatim on all 601 test rows."""
+    import csv
+    import pickle
+
+    tok = T.default_tokenizer_for_coef("bert-base-uncased")
+    texts = [
+        r["EEG"] for r in csv.DictReader(open(f"{REF}/feature/test_EEG.csv"))
+    ]
+    enc = pickle.load(open(f"{REF}/feature/EEG/test_bert.pickle", "rb"))
+    ids = [list(e["input_ids"]) for e in enc]
+    exact = sum(1 for t, ref in zip(texts, ids) if list(tok.encode(t)[0]) == ref)
+    assert exact == len(texts)
+
+
+def test_get_embedding_per_coef_tokenizer(tmp_path):
+    """GetEmbedding resolves tokenizers per coef: user vocab.txt wins, then
+    the packaged uncased vocab, then synthetic (cased)."""
+    from eeg_multimodal_tpu.data.embedding import GetEmbedding
+
+    # a tiny valid HF-style vocab.txt
+    pieces = ["[PAD]"] + [f"unused{i}" for i in range(99)] + [
+        "[UNK]", "[CLS]", "[SEP]", "[MASK]", "-",
+    ] + list("0123456789") + ["##" + d for d in "0123456789"]
+    vt = tmp_path / "vocab.txt"
+    vt.write_text("\n".join(pieces) + "\n")
+
+    job = GetEmbedding(
+        ["EEG"], ["test"], data_root=str(tmp_path),
+        vocab_txts={"bert-base-cased": str(vt)},
+    )
+    cased = job.tokenizer_for_coef("bert-base-cased")
+    uncased = job.tokenizer_for_coef("bert-base-uncased")
+    assert cased.vocab["-"] == 104  # from the user vocab.txt line number
+    assert isinstance(uncased, T.RecoveredWordPiece)
+    # explicit tokenizer overrides everything
+    syn = T.synthetic_numeric_vocab()
+    job2 = GetEmbedding(["EEG"], ["test"], tokenizer=syn)
+    assert job2.tokenizer_for_coef("bert-base-uncased") is syn

@@ -9,6 +9,7 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,7 @@ def make_trainer(dp_mode="lapacian_dropout", lr=1e-3, epochs=2):
     return Trainer(fc, tc)
 
 
+@pytest.mark.slow
 def test_trainer_runs_and_records(tmp_path):
     tr = make_trainer()
     train, test = tiny_dataset(10), tiny_dataset(6, seed=1)
@@ -69,6 +71,7 @@ def test_trainer_runs_and_records(tmp_path):
         assert params2["DP"].shape == (1, 2304)
 
 
+@pytest.mark.slow
 def test_trainer_is_deterministic_per_seed():
     outs = []
     for _ in range(2):
@@ -80,6 +83,7 @@ def test_trainer_is_deterministic_per_seed():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_dp_param_actually_trains():
     """The alternating scheme must move the DP parameter (phase 1) and the
     model parameters (phase 2)."""
@@ -138,6 +142,7 @@ def test_truncate_tokens_is_exact():
     assert a.eeg_input.shape[1] == b.eeg_input.shape[1] == 8
 
 
+@pytest.mark.slow
 def test_n_eval_repeated_evaluation():
     """n_eval > 1 averages stochastic eval repeats (majority-vote preds)."""
     tr = make_trainer(epochs=1)

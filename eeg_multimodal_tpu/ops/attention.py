@@ -32,93 +32,112 @@ def _prec(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _head_seed(seed_ref, i, n_heads):
+    """Distinct PRNG seed per (batch, head-block, head) — the backward
+    re-seeds identically to regenerate the forward's dropout mask."""
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    return seed_ref[0] + pid * n_heads + i
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
-                dropout_rate):
-    q = q_ref[0, 0]  # (S, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_prec(q.dtype),
-    ) * scale  # (S, S)
-    s = s + bias_ref[0]  # additive mask bias, (1, S) broadcasts over rows
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    if dropout_rate > 0.0:
-        pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + pid)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
-        threshold = jnp.uint32(int((1.0 - dropout_rate) * (1 << 24)))
-        keep = (bits >> 8) < threshold
-        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_prec(v.dtype),
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+                dropout_rate, block_h):
+    bias = bias_ref[0]  # (1, S), shared by every head in the block
+    for i in range(block_h):  # statically unrolled head loop
+        q = q_ref[0, i]  # (S, D)
+        k = k_ref[0, i]
+        v = v_ref[0, i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype),
+        ) * scale  # (S, S)
+        s = s + bias  # additive mask bias broadcasts over rows
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_head_seed(seed_ref, i, block_h))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            threshold = jnp.uint32(int((1.0 - dropout_rate) * (1 << 24)))
+            keep = (bits >> 8) < threshold
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(v.dtype),
+        )
+        o_ref[0, i] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_prec(q.dtype),
-    ) * scale
-    s = s + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # pre-dropout probs
-    if dropout_rate > 0.0:
-        pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + pid)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
-        threshold = jnp.uint32(int((1.0 - dropout_rate) * (1 << 24)))
-        keep = (bits >> 8) < threshold
-        p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    else:
-        p_drop = p
-    # matmuls run in the input dtype on the MXU (bf16 flops in bf16 mode,
-    # full-precision passes in f32 mode) with f32 accumulation throughout
-    dt = q.dtype
-    prec = _prec(dt)
-    # dV = P_drop^T dO
-    dv = jax.lax.dot_general(
-        p_drop.astype(dt), do.astype(dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    # dP_drop = dO V^T
-    dp = jax.lax.dot_general(
-        do.astype(dt), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    if dropout_rate > 0.0:
-        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-    # softmax backward: dS = P * (dP - rowsum(dP * P)) — f32 on the VPU
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row)
-    dq = jax.lax.dot_general(
-        ds.astype(dt), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds.astype(dt), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate, block_h):
+    bias = bias_ref[0]
+    for i in range(block_h):
+        q = q_ref[0, i]
+        k = k_ref[0, i]
+        v = v_ref[0, i]
+        do = do_ref[0, i].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype),
+        ) * scale
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # pre-dropout probs
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_head_seed(seed_ref, i, block_h))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            threshold = jnp.uint32(int((1.0 - dropout_rate) * (1 << 24)))
+            keep = (bits >> 8) < threshold
+            p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_drop = p
+        # matmuls run in the input dtype on the MXU (bf16 flops in bf16
+        # mode, full-precision passes in f32 mode) with f32 accumulation
+        dt = q.dtype
+        prec = _prec(dt)
+        # dV = P_drop^T dO
+        dv = jax.lax.dot_general(
+            p_drop.astype(dt), do.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        # dP_drop = dO V^T
+        dp = jax.lax.dot_general(
+            do.astype(dt), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+        # softmax backward: dS = P * (dP - rowsum(dP * P)) — f32 on the VPU
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row)
+        dq = jax.lax.dot_general(
+            ds.astype(dt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds.astype(dt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        dq_ref[0, i] = dq.astype(dq_ref.dtype)
+        dk_ref[0, i] = dk.astype(dk_ref.dtype)
+        dv_ref[0, i] = dv.astype(dv_ref.dtype)
 
 
-def _specs(B, H, S, D):
+def block_heads(S: int, H: int) -> int:
+    """Heads per program. At short sequences one (batch, head) per program
+    is too little work — grid overhead and HBM latency dominate — so the
+    whole head axis runs in one program (statically unrolled); at S >= 256 a
+    single head's score matrix is large enough to fill the pipeline."""
+    return H if S < 256 else 1
+
+
+def _specs(B, H, S, D, block_h):
     # index maps receive the grid indices plus the scalar-prefetch ref
-    qspec = pl.BlockSpec((1, 1, S, D), lambda b, h, seed_ref: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec(
+        (1, block_h, S, D), lambda b, h, seed_ref: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     bspec = pl.BlockSpec((1, 1, S), lambda b, h, seed_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     return qspec, bspec
@@ -155,15 +174,16 @@ def _fused_fwd_impl(q, k, v, bias, seed, dropout_rate):
         return _reference_impl(q, k, v, bias, seed, dropout_rate)
     B, H, S, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    qspec, bspec = _specs(B, H, S, D)
+    block_h = block_heads(S, H)
+    qspec, bspec = _specs(B, H, S, D, block_h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H),
+        grid=(B, H // block_h),
         in_specs=[qspec, qspec, qspec, bspec],
         out_specs=qspec,
     )
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, dropout_rate=dropout_rate
+        _fwd_kernel, scale=scale, dropout_rate=dropout_rate, block_h=block_h
     )
     return pl.pallas_call(
         kernel,
@@ -192,15 +212,16 @@ def _fused_bwd(dropout_rate, res, do):
                 np.zeros(seed.shape, jax.dtypes.float0))
     B, H, S, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    qspec, bspec = _specs(B, H, S, D)
+    block_h = block_heads(S, H)
+    qspec, bspec = _specs(B, H, S, D, block_h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H),
+        grid=(B, H // block_h),
         in_specs=[qspec, qspec, qspec, bspec, qspec],
         out_specs=(qspec, qspec, qspec),
     )
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, dropout_rate=dropout_rate
+        _bwd_kernel, scale=scale, dropout_rate=dropout_rate, block_h=block_h
     )
     dq, dk, dv = pl.pallas_call(
         kernel,

@@ -94,6 +94,23 @@ def main():
     # padding, so this is the TPU-native data layout doing the work
     train, test = truncate_pair(train, test)
     fc = fusion.config_for("ti", "lapacian_dropout")
+    if not os.environ.get("EEG_BENCH_NO_COMPACT"):
+        # exact vocab compaction (data/compact_vocab.py): the numeric corpus
+        # touches ~600 of 30522 ids; rows that never receive gradient have
+        # identically-zero Adam updates, so dropping them preserves the
+        # training trajectory while removing ~23M params of optimizer and
+        # gradient HBM traffic per step.
+        import dataclasses
+
+        from eeg_multimodal_tpu.data.compact_vocab import (
+            build_compact_vocab, remap_pairing,
+        )
+        from eeg_multimodal_tpu.models.bert import BertConfig
+
+        cv = build_compact_vocab([train.eeg_input, test.eeg_input])
+        train = remap_pairing(train, cv)
+        test = remap_pairing(test, cv)
+        fc = dataclasses.replace(fc, bert_config=BertConfig(vocab_size=cv.size))
     tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16")
     steps = StepFunctions(fc, tc)
 

@@ -119,7 +119,10 @@ class CompactVocab:
     ) -> "CompactVocab":
         used = np.unique(np.asarray(used_ids).reshape(-1))
         if add_specials:
-            used = np.union1d(used, np.asarray(specials))
+            # drop specials outside the table (tiny test vocabs have no
+            # room for the HF special ids at 100-103)
+            sp = np.asarray([s for s in specials if s < full_vocab])
+            used = np.union1d(used, sp)
         used = used.astype(np.int64)
         if used.size and (used.min() < 0 or used.max() >= full_vocab):
             raise ValueError(

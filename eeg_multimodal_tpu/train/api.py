@@ -121,12 +121,20 @@ class TrainAndTest:
         epsilon: float = 0.1,
         bert_config=None,
         auto_truncate: bool = True,
+        compact_vocab: bool = False,
     ):
         """In-memory variant of :meth:`train` (datasets already built).
 
         ``auto_truncate`` drops all-padding token columns (exact — see
         data.datasets.truncate_tokens); the committed data's rows are <= 65
         tokens of the padded 512, so this is a ~4x encoder-FLOPs saving.
+
+        ``compact_vocab`` remaps token ids to the ~600 the numeric corpus
+        actually uses (data/compact_vocab.py) — exact for the training
+        trajectory (never-gathered rows have identically-zero Adam updates)
+        and ~20% less optimizer HBM traffic; checkpoints export with the
+        word table scattered back to full-vocab rows. Not applied to the
+        DPSGD path (its trainable subtree excludes the embedding table).
         """
         import dataclasses
 
@@ -134,6 +142,29 @@ class TrainAndTest:
             from ..data.datasets import truncate_pair
 
             train_data, test_data = truncate_pair(train_data, test_data)
+
+        vocab = None
+        bert_params = self.bert_params
+        if compact_vocab and dp_mode != "DPSGD" and "t" in multimodal_type:
+            from ..data.compact_vocab import build_compact_vocab, remap_pairing
+            from ..models.bert import BertConfig
+
+            base_cfg = bert_config or BertConfig.for_coef(eeg_model_coef)
+            streams = []
+            for d in (train_data, test_data):
+                if multimodal_type[0] == "t":
+                    streams.append(d.eeg_input)
+                if multimodal_type[1] == "t":
+                    streams.append(d.act_input)
+            vocab = build_compact_vocab(streams, full_vocab=base_cfg.vocab_size)
+            train_data = remap_pairing(train_data, vocab)
+            test_data = remap_pairing(test_data, vocab)
+            bert_config = dataclasses.replace(base_cfg, vocab_size=vocab.size)
+            if bert_params is not None:
+                bert_params = dict(bert_params)
+                emb = dict(bert_params["embeddings"])
+                emb["word"] = vocab.compact_embeddings(emb["word"])
+                bert_params["embeddings"] = emb
 
         model_path = os.path.join(
             self.data_root, "models", "custom", train_type, path_suffix,
@@ -170,7 +201,7 @@ class TrainAndTest:
             epochs=self.epochs,
             compute_dtype=self.compute_dtype,
         )
-        trainer = Trainer(fc, tc, bert_params=self.bert_params)
+        trainer = Trainer(fc, tc, bert_params=bert_params, vocab=vocab)
         return trainer.fit(
             train_data, test_data, epsilon,
             log_path=log_path, model_path=model_path, echo=self.echo,

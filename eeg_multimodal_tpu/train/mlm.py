@@ -50,7 +50,12 @@ class MLMConfig:
     cls_id: int = 101
     sep_id: int = 102
     pad_id: int = 0
-    log_every: int = 200
+    # steps per dispatched scan chunk; kept short so a single device
+    # dispatch stays well under the runtime's execution watchdog
+    log_every: int = 50
+    # bf16 compute with f32 master params/moments (LN/softmax stay f32
+    # inside the model); flip to float32 for bit-level debugging
+    compute_dtype: str = "bfloat16"
 
 
 # -- MLM head (HF BertOnlyMLMHead semantics: dense -> gelu -> LN -> tied decoder)
@@ -146,8 +151,13 @@ class MLMPretrainer:
 
     def _make_chunk(self, corpus_ids, corpus_mask):
         cfg, bert_cfg, opt = self.cfg, self.bert_cfg, self.opt
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
 
         def loss_fn(params, b_ids, b_mask, key):
+            if compute_dtype != jnp.float32:
+                from ..utils.trees import tree_cast
+
+                params = tree_cast(params, compute_dtype)
             return mlm_loss(
                 params["bert"], params["head"], b_ids, b_mask, bert_cfg, cfg, key
             )

@@ -160,3 +160,57 @@ class TestMLM:
             np.asarray(logits2),
             np.broadcast_to(np.asarray(head["decoder_bias"]), logits2.shape),
         )
+
+
+def test_train_on_compact_vocab_matches_full(tmp_path):
+    """TrainAndTest.train_on(compact_vocab=True) is a pure layout change:
+    same injected BERT weights (compacted by row-gather) + same seeds give
+    the same training history, and the exported checkpoint scatters the word
+    table back to full-vocab rows."""
+    import pickle
+
+    from eeg_multimodal_tpu.train.api import TrainAndTest
+    from test_trainer import TINY_BERT, tiny_dataset
+
+    bert_full = bert_mod.init(jax.random.PRNGKey(3), TINY_BERT)
+    train, test = tiny_dataset(12), tiny_dataset(8, seed=1)
+
+    def run(compact, root):
+        job = TrainAndTest(
+            batch_size=4, learning_rate=1e-3, epochs=1, data_root=root,
+            compute_dtype="float32", bert_params=bert_full, echo=False,
+        )
+        return job.train_on(
+            train, test, "t", "r/", "ti", "lapacian_dropout",
+            epsilon=1.0, bert_config=TINY_BERT, compact_vocab=compact,
+        )
+
+    full = run(False, str(tmp_path / "full"))
+    comp = run(True, str(tmp_path / "comp"))
+    for a, b in zip(full["history"], comp["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-4)
+
+
+def test_trainer_export_params_expands_word_table():
+    """With a compact vocab active, checkpoint export scatters the word table
+    back to full-vocab rows (reference state-dict layout)."""
+    import dataclasses
+
+    from eeg_multimodal_tpu.train.trainer import TrainConfig, Trainer
+    from test_trainer import TINY_BERT
+
+    cv = build_compact_vocab([np.asarray([[1, 5, 7]])], full_vocab=TINY_BERT.vocab_size)
+    fc = dataclasses.replace(
+        __import__("eeg_multimodal_tpu.models.fusion", fromlist=["fusion"]).config_for(
+            "ti", "lapacian_dropout"
+        ),
+        bert_config=dataclasses.replace(TINY_BERT, vocab_size=cv.size),
+    )
+    tr = Trainer(fc, TrainConfig(epochs=1), vocab=cv)
+    exported = tr.export_params()
+    word = np.asarray(exported["bert"]["embeddings"]["word"])
+    assert word.shape == (TINY_BERT.vocab_size, TINY_BERT.hidden_size)
+    np.testing.assert_array_equal(
+        cv.compact_embeddings(word), np.asarray(tr.params["bert"]["embeddings"]["word"])
+    )

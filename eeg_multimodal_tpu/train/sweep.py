@@ -11,7 +11,15 @@ epoch-scan trains all members at once — the BASELINE.json "batched eps sweep
 shuffle orders too).
 
 Memory note: BERT-base members cost ~1.3 GB each (f32 params + Adam moments);
-a 16 GB v5e chip fits ~10. Larger grids chunk automatically.
+a 16 GB v5e chip fits ~10. Larger grids chunk automatically (a log line
+reports the chunking — no silent cap).
+
+Mesh composition: pass ``mesh=`` to place sweep members along the mesh's
+'data' axis — every stacked state (params, Adam moments, epsilons, keys)
+shards its leading member axis across the data-axis device groups while the
+(small) dataset replicates, so the grid scales linearly with chips and no
+cross-member collectives are needed. This composes the two flagship
+parallelism features (vmapped sweeps x device mesh).
 """
 from __future__ import annotations
 
@@ -22,9 +30,11 @@ from typing import Any, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..data.datasets import MultiModalArrays, epoch_indices
 from ..models import fusion
+from ..parallel.mesh import DATA_AXIS
 from ..utils.seeding import key_chain, set_seed
 from . import metrics as M
 from .records import RunRecorder
@@ -50,12 +60,20 @@ class SweepRunner:
         members: Sequence[SweepMember],
         bert_params=None,
         max_members_in_flight: int = 10,
+        mesh: Optional[Mesh] = None,
     ):
         self.fusion_cfg = fusion_cfg
         self.train_cfg = train_cfg
         self.members = list(members)
         self.bert_params = bert_params
         self.chunk = max_members_in_flight
+        self.mesh = mesh
+        self._member_deg = 1
+        if mesh is not None:
+            self._member_deg = mesh.shape[DATA_AXIS]
+            # chunks must tile the data axis evenly
+            self.chunk = max(self._member_deg,
+                             self.chunk - self.chunk % self._member_deg)
         self.steps = StepFunctions(fusion_cfg, train_cfg)
         s = self.steps
         self._vtrain = jax.jit(
@@ -68,12 +86,31 @@ class SweepRunner:
             jax.vmap(s._eval_epoch, in_axes=(0, None, None, None, 0, 0))
         )
 
+    # -- mesh placement -------------------------------------------------------
+    def _member_sharding(self):
+        """Leading (member) axis on 'data'; everything else replicated."""
+        return NamedSharding(self.mesh, PartitionSpec(DATA_AXIS))
+
+    def _place_stacked(self, tree):
+        if self.mesh is None:
+            return tree
+        s = self._member_sharding()
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def _place_replicated(self, tree):
+        if self.mesh is None:
+            return tree
+        s = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
     def _init_members(self, members: Sequence[SweepMember]):
-        keys = jnp.stack(
+        keys = self._place_stacked(jnp.stack(
             [key_chain(set_seed(m.seed), "init") for m in members]
-        )
+        ))
         init_one = lambda k: fusion.init(k, self.fusion_cfg, self.bert_params)
         params = jax.jit(jax.vmap(init_one))(keys)
+        if self.mesh is not None:
+            params = self._place_stacked(params)
         dp_os, model_os = jax.vmap(self.steps.init_opt_states)(params)
         return params, dp_os, model_os
 
@@ -84,24 +121,40 @@ class SweepRunner:
         log_root: Optional[str] = None,
         echo: bool = True,
     ) -> List[Dict[str, Any]]:
+        members = list(self.members)
+        pad = 0
+        if self._member_deg > 1 and len(members) % self._member_deg:
+            # pad the grid so every chunk tiles the data axis; padded
+            # members are copies whose results are dropped below
+            pad = self._member_deg - len(members) % self._member_deg
+            members = members + [members[-1]] * pad
+        n_chunks = -(-len(members) // self.chunk)
+        if echo and n_chunks > 1:
+            print(
+                f"[sweep] {len(self.members)} members exceed "
+                f"max_members_in_flight={self.chunk}: running {n_chunks} "
+                f"sequential chunks"
+            )
         out: List[Dict[str, Any]] = []
-        for i in range(0, len(self.members), self.chunk):
+        for i in range(0, len(members), self.chunk):
             out.extend(
                 self._run_chunk(
-                    self.members[i : i + self.chunk],
+                    members[i : i + self.chunk],
                     train_data, test_data, log_root, echo,
                 )
             )
-        return out
+        return out[: len(self.members)]
 
     def _run_chunk(self, members, train_data, test_data, log_root, echo):
         cfg = self.train_cfg
         S = len(members)
         params, dp_os, model_os = self._init_members(members)
-        epsilons = jnp.asarray([m.epsilon for m in members], jnp.float32)
+        epsilons = self._place_stacked(
+            jnp.asarray([m.epsilon for m in members], jnp.float32)
+        )
         member_keys = [set_seed(m.seed) for m in members]
-        train_dev = train_data.device_put()
-        test_dev = test_data.device_put()
+        train_dev = self._place_replicated(train_data.device_put())
+        test_dev = self._place_replicated(test_data.device_put())
         n_train, n_test = len(train_data), len(test_data)
 
         recorders = [

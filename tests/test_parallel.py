@@ -61,3 +61,32 @@ def test_sharded_trainer_epoch_runs_and_matches_unsharded():
     # params really are distributed over the mesh
     qk = tr_sh.params["bert"]["layers"][0]["attn"]["query"]["kernel"]
     assert len(qk.sharding.device_set) > 1
+
+
+@pytest.mark.slow
+def test_sweep_under_mesh_matches_unsharded():
+    """Composing the vmapped sweep with the device mesh (members placed along
+    the data axis) must be a pure layout change: per-member histories equal
+    the meshless run's. 3 members on a 2-wide data axis also exercises the
+    pad-to-tile path (one padded member dropped from results)."""
+    from eeg_multimodal_tpu.train.sweep import SweepMember, SweepRunner
+
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, learning_rate=1e-3, epochs=1)
+    members = [SweepMember(0.1), SweepMember(1.0), SweepMember(5.0)]
+    train, test = tiny_dataset(12), tiny_dataset(8, seed=1)
+
+    plain = SweepRunner(fc, tc, members).run(train, test, echo=False)
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:8], data=2, model=4)
+    meshed = SweepRunner(fc, tc, members, mesh=mesh).run(train, test, echo=False)
+
+    assert len(plain) == len(meshed) == 3
+    for a, b in zip(plain, meshed):
+        assert a["member"] == b["member"]
+        for ra, rb in zip(a["history"], b["history"]):
+            np.testing.assert_allclose(ra["train_loss"], rb["train_loss"], rtol=2e-4)
+            np.testing.assert_allclose(ra["test_loss"], rb["test_loss"], rtol=2e-4)
+            assert ra["f1"] == pytest.approx(rb["f1"], abs=1e-6)

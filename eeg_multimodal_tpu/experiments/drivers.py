@@ -177,15 +177,29 @@ class CompareModelInitWeight(_Driver):
 
 
 class CompareCrossModalType(_Driver):
-    """ref compare_cross_modal_type.py (output dir 'compare_corss_model_type')."""
+    """ref compare_cross_modal_type.py. The committed logs carry three
+    train_type labels from successive runs of the same driver:
+    'compare_corss_model_type' (both streams),
+    'compare_corss_model_type_3layers' (single stream only) and the source's
+    current default 'compare_corss_model_type_3layers_v2'
+    (compare_cross_modal_type.py:32) — the model is identical (3 encoder
+    layers has always been the TISC depth, models.py:257); only the output
+    dir differs. ``train_type`` selects the label; ``streams`` mirrors the
+    reference's run() which at HEAD runs single_stream only (:60-63)."""
+
+    def __init__(self, train_type: str = "compare_corss_model_type",
+                 streams=("double_stream", "single_stream"), **kw):
+        super().__init__(**kw)
+        self.train_type = train_type
+        self.streams = tuple(streams)
 
     def configs(self):
         return [
             dict(
                 _BASE,
-                train_type="compare_corss_model_type",
+                train_type=self.train_type,
                 path_suffix=f"{stream}/",
                 cross_atn_type=stream,
             )
-            for stream in ("double_stream", "single_stream")
+            for stream in self.streams
         ]

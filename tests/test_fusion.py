@@ -163,7 +163,13 @@ def test_all_model_classes_forward_and_grad(mt, dp_mode, cross):
 
 
 def test_fusion_state_dict_round_trip_strict_torch_load():
-    """Our exported state dict loads strict=True into the torch replica."""
+    """Our exported state dict loads strict=True into the torch replica.
+
+    Every key we emit must be accepted (no unexpected), every *parameter*
+    must be covered (anything missing may only be a torch-side registered
+    buffer like position_ids, never a trainable weight), and after filling
+    those buffers from the module's own defaults a genuinely strict load
+    must succeed."""
     cfg = fusion.config_for("ti", "NDP")
     cfg = fusion.FusionConfig(**{**cfg.__dict__, "bert_config": SMALL_BERT})
     params = fusion.init(jax.random.PRNGKey(0), cfg)
@@ -171,9 +177,15 @@ def test_fusion_state_dict_round_trip_strict_torch_load():
     model = TorchTICANonPrivate(small_hf_config())
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     missing, unexpected = model.load_state_dict(tensors, strict=False)
-    # everything we emit must be accepted; torch-only buffers may be missing
     assert unexpected == []
-    assert all("position_ids" in m or "embeddings" in m for m in missing) or missing == []
+    buffers = {name for name, _ in model.named_buffers()}
+    assert set(missing) <= buffers, f"missing non-buffer keys: {set(missing) - buffers}"
+    # strict load with the torch-only buffers taken from the module defaults
+    full = dict(tensors)
+    own = model.state_dict()
+    for m in missing:
+        full[m] = own[m]
+    model.load_state_dict(full, strict=True)
 
 
 def test_opacus_prefix_normalization():

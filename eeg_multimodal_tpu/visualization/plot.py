@@ -295,4 +295,35 @@ def regenerate_all(log_root: str, out_dir: str, epsilon: float = 0.1):
                 demo, os.path.join(out_dir, "demo_curves.png")
             )
         )
+    rep = run_dirs(
+        os.path.join(log_root, "compare_privacy_budget", "eps_representative")
+    )
+    if rep:
+        written.append(
+            plot_training_curves(
+                {f"eps={k}": v for k, v in rep.items()},
+                os.path.join(out_dir, "eps_representative_curves.png"),
+            )
+        )
+    grid = run_dirs(os.path.join(log_root, "compare_model_ini_wight"))
+    if grid:
+        written.append(
+            plot_init_weight_comparison(
+                grid, os.path.join(out_dir, "init_weight_comparison.png")
+            )
+        )
+    # all three committed run labels of the cross-modal-type driver
+    # (the reference renamed its output dir between runs — drivers.py)
+    for fam in (
+        "compare_corss_model_type",
+        "compare_corss_model_type_3layers",
+        "compare_corss_model_type_3layers_v2",
+    ):
+        streams = run_dirs(os.path.join(log_root, fam))
+        if streams:
+            written.append(
+                plot_training_curves(
+                    streams, os.path.join(out_dir, f"{fam}_curves.png")
+                )
+            )
     return written

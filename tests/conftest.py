@@ -23,3 +23,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent XLA compile cache: the suite's cost is dominated by CPU-backend
+# jit compiles (the heaviest single grad compile is ~34 s cold, ~6 s warm).
+# Safe here because tests never touch the TPU remote-compile tunnel (where
+# the cache hangs — see .claude/skills/verify). Keyed by jax version +
+# computation fingerprint, so stale entries miss instead of corrupting.
+_cache_dir = os.environ.get(
+    "EEG_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "jax"),
+)
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -60,9 +60,21 @@ class FusionConfig:
     # Route the DP block through the fused Pallas kernel (ops/dp_pallas.py):
     # one VMEM pass for minmax + eps_hat + in-kernel Laplace sampling.
     # Mathematically equal to the composed ops (the Gumbel stage is an
-    # identity); noise stream differs from jax.random. Off by default to
-    # keep the jax.random stream of the faithful path.
-    fused_dp_kernel: bool = False
+    # identity; tests/test_dp_pallas.py pins value/grad equality and the
+    # Laplace-stream quantiles). None = auto: on for the TPU hot path, off
+    # on CPU, where the interpreter would crawl and where the jax.random
+    # stream keeps tests bit-reproducible. The noise stream differs from
+    # jax.random's, so trajectories match the faithful path statistically,
+    # not bitwise.
+    fused_dp_kernel: Optional[bool] = None
+
+    @property
+    def use_fused_dp(self) -> bool:
+        if self.fused_dp_kernel is not None:
+            return self.fused_dp_kernel
+        import jax
+
+        return jax.default_backend() != "cpu"
 
     def bert_cfg(self):
         return self.bert_config or bert_mod.BertConfig.for_coef(self.bert_coef)
@@ -188,31 +200,24 @@ def _encode_streams(params, batch, config: FusionConfig, bert_cfg, keys, train):
     return feat_a, seq_a, feat_b, seq_b
 
 
-def apply(
-    params,
-    batch,  # dict: eeg_input, eeg_mask, act_input, act_mask
-    config: FusionConfig,
-    epsilon,
-    hard: bool,
-    rng: Optional[jax.Array],
-    train: bool,
-    return_features: bool = False,
-):
-    """Forward pass -> logits (B, 2).
+def split_rng(rng: Optional[jax.Array]):
+    """The forward's key layout: 3 encoder-dropout keys + the DP-noise key.
+    Exposed so the trainer's shared-feature fast path can reproduce apply()'s
+    exact key stream (train/trainer.py)."""
+    if rng is None:
+        return (None, None, None), None
+    k_bert_a, k_bert_b, k_cross, k_dp = jax.random.split(rng, 4)
+    return (k_bert_a, k_bert_b, k_cross), k_dp
 
-    ``rng`` seeds both nn-dropout (train only) and the DP noise (always drawn,
-    including eval — the reference's eval is stochastic, hence train.py's
-    n_eval repeated evaluation). Pass ``rng=None`` only for dp_mode='NDP'/
-    'DPSGD' at eval, where the forward is deterministic.
-    """
-    if config.dp_mode == "pri_gumbel":
-        raise ValueError("use legacy_pri_gumbel_apply for the PriGumbel head")
+
+def encode_features(params, batch, config: FusionConfig, enc_keys, train: bool):
+    """Everything upstream of the DP mechanism: both encoder streams, the
+    cross-attention block and the fused concat (models.py:56-69), returned
+    raw (pre-normalize, f32). Depends only on the encoder/cross params —
+    never on the DP parameter — which is what makes the trainer's
+    one-encoder-pass-per-step fast path exact (see StepFunctions)."""
     bert_cfg = config.bert_cfg()
-    dtype = config.jnp_dtype
-    if rng is not None:
-        k_bert_a, k_bert_b, k_cross, k_dp = jax.random.split(rng, 4)
-    else:
-        k_bert_a = k_bert_b = k_cross = k_dp = None
+    k_bert_a, k_bert_b, k_cross = enc_keys
 
     feat_a, seq_a, feat_b, seq_b = _encode_streams(
         params, batch, config, bert_cfg, (k_bert_a, k_bert_b), train
@@ -255,7 +260,22 @@ def apply(
     # post-concat fusion head stays f32 regardless of compute dtype: the DP
     # noise statistics and min-max normalization are precision-sensitive and
     # the (B, 2304) block is negligible next to the encoders.
-    feature_raw = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    return jnp.concatenate(parts, axis=1).astype(jnp.float32)
+
+
+def apply_head(
+    params,
+    feature_raw,  # (B, F) raw fused concat from encode_features, f32
+    config: FusionConfig,
+    epsilon,
+    hard: bool,
+    k_dp,
+    train: bool,
+    return_features: bool = False,
+):
+    """min-max normalize -> DP mechanism -> fc layers -> classifier
+    (models.py:70-82). Split from the encoders so the trainer can run the
+    two alternating-optimizer phases over one shared feature computation."""
     feature = dp_ops.minmax_normalize(feature_raw)  # models.py:70-72
     if return_features:
         # truncated forward: the 'feawei' feature-weight extraction path
@@ -264,7 +284,7 @@ def apply(
 
     mode = config.dp_mode
     if mode == "lapacian_dropout":
-        if config.fused_dp_kernel:
+        if config.use_fused_dp:
             from ..ops import dp_pallas
 
             seed = jax.random.randint(k_dp, (1,), 0, 2**31 - 1, jnp.int32)
@@ -291,6 +311,33 @@ def apply(
     h = jnp.tanh(L.linear(params["fc2"], h))
 
     return L.linear(params["classifier"], h)
+
+
+def apply(
+    params,
+    batch,  # dict: eeg_input, eeg_mask, act_input, act_mask
+    config: FusionConfig,
+    epsilon,
+    hard: bool,
+    rng: Optional[jax.Array],
+    train: bool,
+    return_features: bool = False,
+):
+    """Forward pass -> logits (B, 2): encode_features then apply_head.
+
+    ``rng`` seeds both nn-dropout (train only) and the DP noise (always drawn,
+    including eval — the reference's eval is stochastic, hence train.py's
+    n_eval repeated evaluation). Pass ``rng=None`` only for dp_mode='NDP'/
+    'DPSGD' at eval, where the forward is deterministic.
+    """
+    if config.dp_mode == "pri_gumbel":
+        raise ValueError("use legacy_pri_gumbel_apply for the PriGumbel head")
+    enc_keys, k_dp = split_rng(rng)
+    feature_raw = encode_features(params, batch, config, enc_keys, train)
+    return apply_head(
+        params, feature_raw, config, epsilon, hard, k_dp, train,
+        return_features,
+    )
 
 
 # ---------------------------------------------------------------------------

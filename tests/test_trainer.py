@@ -156,3 +156,38 @@ def test_n_eval_repeated_evaluation():
         assert np.isfinite(o["history"][0]["test_loss"])
     # repeated eval under heavy noise is a valid (generally different) estimate
     assert out4["history"][0]["test_loss"] > 0
+
+
+def test_shared_feature_step_is_exact_rewrite():
+    """With share_phase_dropout=True, the one-encoder-pass step
+    (reuse_phase_features) must reproduce the two-forward step's trajectory:
+    the features never depend on the DP param, so sharing the encoder
+    computation and its vjp across phases is a pure rewrite."""
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    train, test = tiny_dataset(8), tiny_dataset(6, seed=1)
+
+    def run(reuse):
+        tc = TrainConfig(batch_size=4, learning_rate=1e-3, epochs=2,
+                         share_phase_dropout=True, reuse_phase_features=reuse)
+        tr = Trainer(fc, tc)
+        return tr.fit(train, test, epsilon=1.0, echo=False)
+
+    two_fwd = run(False)
+    one_fwd = run(True)
+    for a, b in zip(two_fwd["history"], one_fwd["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["test_acc"], b["test_acc"], rtol=1e-6)
+
+
+def test_reuse_without_shared_dropout_refused():
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, epochs=1, share_phase_dropout=False,
+                     reuse_phase_features=True)
+    tr = Trainer(fc, tc)
+    with pytest.raises(ValueError, match="share_phase_dropout"):
+        tr.fit(tiny_dataset(8), tiny_dataset(6, seed=1), epsilon=1.0, echo=False)

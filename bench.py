@@ -111,7 +111,12 @@ def main():
         train = remap_pairing(train, cv)
         test = remap_pairing(test, cv)
         fc = dataclasses.replace(fc, bert_config=BertConfig(vocab_size=cv.size))
-    tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16")
+    # bf16 Adam first moment: halves the m-buffer traffic of the
+    # memory-bound update (update math stays f32 — optax casts per step);
+    # EEG_BENCH_MU_F32=1 restores bit-exact f32 moments for comparison
+    mu = "float32" if os.environ.get("EEG_BENCH_MU_F32") else "bfloat16"
+    tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16",
+                     adam_mu_dtype=mu)
     steps = StepFunctions(fc, tc)
 
     key = set_seed()

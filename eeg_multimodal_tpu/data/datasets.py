@@ -162,10 +162,17 @@ def build_pairing(
 # Epoch batching: permutation -> padded (n_batches, B) index matrix
 # ---------------------------------------------------------------------------
 
-def truncate_tokens(arrays: "MultiModalArrays", multiple: int = 128,
+def truncate_tokens(arrays: "MultiModalArrays", multiple: int = 16,
                     max_len: Optional[int] = None) -> "MultiModalArrays":
     """Drop all-padding token columns: slice txt streams to the max valid
-    mask length rounded up to `multiple` (MXU/Pallas alignment).
+    mask length rounded up to `multiple`.
+
+    The sequence axis is a sublane dimension on TPU, so 16 (one bf16
+    sublane tile) is all the alignment the MXU needs — rounding the 65-token
+    committed rows to 80 instead of 128 removes another 37% of encoder work
+    with identical logits. (The fused attention kernel wants S%128 == 0,
+    but its measured dispatch only selects it at S >= 256 anyway —
+    ops/attention.py.)
 
     Mathematically exact: padded positions carry -inf attention bias, the
     pooler reads [CLS] only, and cross-attention masks them out — so their
@@ -191,7 +198,7 @@ def truncate_tokens(arrays: "MultiModalArrays", multiple: int = 128,
 
 
 def truncate_pair(train: "MultiModalArrays", test: "MultiModalArrays",
-                  multiple: int = 128):
+                  multiple: int = 16):
     """Truncate a train/test pair to one shared (rounded) max length so a
     single compiled program serves both."""
     def longest(a):

@@ -61,20 +61,22 @@ class FusionConfig:
     # one VMEM pass for minmax + eps_hat + in-kernel Laplace sampling.
     # Mathematically equal to the composed ops (the Gumbel stage is an
     # identity; tests/test_dp_pallas.py pins value/grad equality and the
-    # Laplace-stream quantiles). None = auto: on for the TPU hot path, off
-    # on CPU, where the interpreter would crawl and where the jax.random
-    # stream keeps tests bit-reproducible. The noise stream differs from
-    # jax.random's, so trajectories match the faithful path statistically,
-    # not bitwise.
+    # Laplace-stream quantiles), and validated standalone on the chip —
+    # including fwd+bwd inside a 301-step lax.scan. It stays OFF in the
+    # trainer hot path for two measured reasons (2026-08, v5e via the axon
+    # remote-compile tunnel): (a) embedding BOTH alternating phases' kernel
+    # instances in the one epoch program produces NaN params within 50
+    # steps on real data (f32 or bf16, donation on or off, threefry or rbg)
+    # while the identical math un-scanned or single-instance is finite — a
+    # toolchain-level miscompile, not a math bug; (b) at the flagship
+    # (8, 2304) shape the op is bandwidth-trivial, so the fusion win is nil.
+    # The kernel remains the package's template for fused elementwise+PRNG
+    # ops and is exercised directly by tests/test_dp_pallas.py.
     fused_dp_kernel: Optional[bool] = None
 
     @property
     def use_fused_dp(self) -> bool:
-        if self.fused_dp_kernel is not None:
-            return self.fused_dp_kernel
-        import jax
-
-        return jax.default_backend() != "cpu"
+        return bool(self.fused_dp_kernel)
 
     def bert_cfg(self):
         return self.bert_config or bert_mod.BertConfig.for_coef(self.bert_coef)

@@ -67,6 +67,20 @@ class TrainConfig:
     # the 12.5 ms round-1 step); the update math still runs in f32 (optax
     # casts per step). f32 default keeps bit-identical trajectories.
     adam_mu_dtype: str = "float32"
+    # Run the two alternating phases' encoder forwards as ONE vmapped call
+    # over their (distinct) dropout keys. The encoder never reads the DP
+    # param and phase 1 updates only DP, so both phases see the same encoder
+    # params — batching the forwards is a pure rewrite of the sequential
+    # two-forward step (bit-identical under the vmap-invariant threefry
+    # PRNG; pinned by tests). At the flagship's overhead-bound shapes
+    # (batch 8, seq 65) the 2x-batched forward costs ~1.1x a single one,
+    # so this removes most of one encoder forward per step while keeping
+    # the reference's fresh-dropout-per-forward semantics. Measured on v5e
+    # at the flagship config it LOSES ~16% (71.9 vs 85.8 steps/s): the
+    # batched encoder *backward* (which must run over both slices, one with
+    # a zero cotangent) costs more than the saved forward. Kept as a
+    # documented option; default off.
+    paired_phase_encode: bool = False
 
 
 class StepFunctions:
@@ -139,6 +153,10 @@ class StepFunctions:
                 params, dp_os, model_os, loss, acc = self._shared_feature_step(
                     params, dp_os, model_os, batch, w, epsilon, k1
                 )
+            elif self.has_dp_param and self.train_cfg.paired_phase_encode:
+                params, dp_os, model_os, loss, acc = self._paired_phase_step(
+                    params, dp_os, model_os, batch, w, epsilon, k1, k2
+                )
             elif self.has_dp_param:
                 # phase 1: DP param only, hard=False (base_train.py:183-195).
                 # grad w.r.t. the DP leaf alone => XLA prunes the heavy
@@ -185,6 +203,70 @@ class StepFunctions:
         )
         # reference reports mean-of-batch-means (base_train.py:239-242)
         return params, dp_os, model_os, losses.mean(), accs.mean()
+
+    def _paired_phase_step(self, params, dp_os, model_os, batch, w,
+                           epsilon, k1, k2):
+        """Faithful alternating step with the two phases' encoder forwards
+        batched into one vmapped call.
+
+        Exact rewrite of the sequential two-forward step (base_train.py:
+        183-210): the encoder never reads DP and phase 1 updates only DP, so
+        both phases evaluate the encoder at the same params — only their
+        dropout keys differ. vmapping the forward over the two key sets
+        reproduces each phase's draws (threefry is vmap-invariant), phase 1
+        takes its DP grad against slice 0 (values only), and phase 2's
+        encoder gradient is the shared vjp with a zero cotangent on slice 0.
+        """
+        fc = self.fusion_cfg
+        compute = self._compute_dtype
+
+        def cast(tree):
+            return tree if compute == jnp.float32 else tree_cast(tree, compute)
+
+        rest = {k: v for k, v in params.items() if k != "DP"}
+        dp_leaf = params["DP"]
+        ek1, kdp1 = fusion.split_rng(k1)
+        ek2, kdp2 = fusion.split_rng(k2)
+        enc_keys = tuple(
+            jnp.stack([a, b]) for a, b in zip(ek1, ek2)
+        )  # 3 stacked (2, key) arrays
+
+        def encode(rest_p):
+            return jax.vmap(
+                lambda ks: fusion.encode_features(
+                    cast(rest_p), batch, fc, ks, train=True
+                )
+            )(enc_keys)  # (2, B, F)
+
+        feats, enc_vjp = jax.vjp(encode, rest)
+
+        def head_loss(rest_p, dp, feat, k_dp, hard):
+            logits = fusion.apply_head(
+                cast({**rest_p, "DP": dp}), feat, fc, epsilon, hard, k_dp,
+                train=True,
+            )
+            loss, acc, _, _ = M.cal_loss(logits, batch["labels"], w)
+            return loss, acc
+
+        # phase 1: DP grad against slice 0's features (values only)
+        f1 = jax.lax.stop_gradient(feats[0])
+        g_dp = jax.grad(
+            lambda dp: head_loss(rest, dp, f1, kdp1, False)[0]
+        )(dp_leaf)
+        upd, dp_os = self.dp_opt.update(g_dp, dp_os)
+        dp_leaf = optax.apply_updates(dp_leaf, upd)
+
+        # phase 2: model grads through slice 1
+        (loss, acc), (g_head, g_feat2) = jax.value_and_grad(
+            lambda rp, ft: head_loss(rp, dp_leaf, ft, kdp2, True),
+            argnums=(0, 1), has_aux=True,
+        )(rest, feats[1])
+        g_feats = jnp.stack([jnp.zeros_like(g_feat2), g_feat2])
+        (g_enc,) = enc_vjp(g_feats)
+        g = jax.tree_util.tree_map(jnp.add, g_head, g_enc)
+        upd, model_os = self.model_opt.update(g, model_os, rest)
+        rest = optax.apply_updates(rest, upd)
+        return {**rest, "DP": dp_leaf}, dp_os, model_os, loss, acc
 
     def _shared_feature_step(self, params, dp_os, model_os, batch, w,
                              epsilon, key):

@@ -191,3 +191,27 @@ def test_reuse_without_shared_dropout_refused():
     tr = Trainer(fc, tc)
     with pytest.raises(ValueError, match="share_phase_dropout"):
         tr.fit(tiny_dataset(8), tiny_dataset(6, seed=1), epsilon=1.0, echo=False)
+
+
+def test_paired_phase_encode_is_exact_rewrite():
+    """Batching the two phases' encoder forwards over their dropout keys
+    (paired_phase_encode) must reproduce the sequential two-forward step:
+    same params, same per-phase keys (threefry is vmap-invariant), fresh
+    dropout per forward as in the reference."""
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    train, test = tiny_dataset(8), tiny_dataset(6, seed=1)
+
+    def run(paired):
+        tc = TrainConfig(batch_size=4, learning_rate=1e-3, epochs=2,
+                         paired_phase_encode=paired)
+        tr = Trainer(fc, tc)
+        return tr.fit(train, test, epsilon=1.0, echo=False)
+
+    sequential = run(False)
+    paired = run(True)
+    for a, b in zip(sequential["history"], paired["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["test_acc"], b["test_acc"], rtol=1e-6)

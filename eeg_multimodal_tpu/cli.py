@@ -10,6 +10,7 @@ Subcommands:
   sweep     — vmapped eps x seed sweep             (replaces shell loops)
   embed     — build the embedding tree             (ref get_embedding.py:137)
   process   — raw task txt -> processed CSVs       (ref process.py, data.sh)
+  pretrain  — weights-free MLM pretrain + DP-MLD fine-tune (ACCURACY.md)
 """
 from __future__ import annotations
 
@@ -91,12 +92,39 @@ def main(argv=None):
     sp.add_argument("tasks", nargs="+")
     sp.add_argument("--out", default="data/processed")
 
+    sp = sub.add_parser("pretrain")
+    add_common(sp)
+    sp.set_defaults(epochs=120)
+    sp.add_argument("--out", default="mlm_run")
+    sp.add_argument("--mlm_steps", type=int, default=8000)
+    sp.add_argument("--mlm_batch", type=int, default=128)
+    sp.add_argument("--mlm_lr", type=float, default=1e-4)
+    sp.add_argument("--epsilon", "-e", type=float, default=0.1)
+    sp.add_argument("--bert_ckpt", default=None,
+                    help="skip MLM; load encoder from this pickle")
+
     args = p.parse_args(argv)
 
     if args.cmd == "process":
         from .data.process import process
 
         process(args.tasks, args.out)
+        return 0
+
+    if args.cmd == "pretrain":
+        from .train.mlm import pretrain_finetune_mlm
+
+        result = pretrain_finetune_mlm(
+            args.data_root, args.out, mlm_steps=args.mlm_steps,
+            mlm_batch=args.mlm_batch, mlm_lr=args.mlm_lr,
+            epsilon=args.epsilon, epochs=args.epochs,
+            batch_size=args.batch_size, learning_rate=args.learning_rate,
+            compute_dtype=args.dtype, bert_ckpt=args.bert_ckpt,
+        )
+        best = result["best"]
+        if best:
+            print(f"BEST epoch {best['epoch']}: acc {best['test_acc']:.3f} "
+                  f"f1 {result['f1_best']:.3f}")
         return 0
 
     if args.cmd == "embed":

@@ -249,3 +249,88 @@ def build_corpus(
         longest = int(mask.sum(axis=1).max())
         max_len = min(-(-longest // multiple) * multiple, ids.shape[1])
     return ids[:, :max_len].astype(np.int32), mask[:, :max_len].astype(np.int32)
+
+
+def pretrain_finetune_mlm(
+    data_root: str,
+    out_root: str,
+    mlm_steps: int = 8000,
+    mlm_batch: int = 128,
+    mlm_lr: float = 1e-4,
+    epsilon: float = 0.1,
+    epochs: int = 120,
+    batch_size: int = 8,
+    learning_rate: float = 1e-6,
+    compute_dtype: str = "bfloat16",
+    path_suffix: str = "DPMLD/",
+    bert_ckpt: Optional[str] = None,
+    bert_config: Optional[bert_mod.BertConfig] = None,
+    echo: bool = True,
+):
+    """The weights-free accuracy-parity pipeline (ACCURACY.md §4-5):
+    domain MLM pretraining on the train split's serialized sensor rows, then
+    the faithful DP-MLD fine-tune, on the compact vocabulary throughout.
+    Measured: best acc 0.964 / F1 0.974 at eps=0.1 with the defaults — above
+    the reference's recorded 0.956/0.967 that starts from pretrained HF BERT
+    (ref models.py:40, logs/demo/DPMLD/best_record.txt).
+
+    Returns the fine-tune result dict (train.api.TrainAndTest.train_on).
+    """
+    import json
+    import os
+
+    from ..data import datasets as D
+    from ..data.compact_vocab import build_compact_vocab, remap_pairing
+    from .api import TrainAndTest
+    from .checkpoint import load_pytree, save_pytree
+
+    os.makedirs(out_root, exist_ok=True)
+    job = TrainAndTest(
+        batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
+        data_root=data_root, compute_dtype=compute_dtype, echo=echo,
+    )
+    train = job._load_split("train", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
+    test = job._load_split("test", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
+    job.data_root = out_root  # logs/checkpoints under the run dir
+    train, test = D.truncate_pair(train, test)
+
+    emb_root = os.path.join(data_root, "data", "embedding")
+    corpus_dicts = []
+    for modal in ("EEG", "act"):  # both modalities' serialized texts
+        path = os.path.join(
+            emb_root, modal, "txt", "bert_bert_base_uncased", "train.pickle"
+        )
+        if os.path.exists(path):
+            corpus_dicts.append(D.load_bert_pickle(path))
+    corpus_ids, corpus_mask = build_corpus(corpus_dicts)
+
+    vocab = build_compact_vocab([d["input_ids"] for d in corpus_dicts])
+    if echo:
+        print(f"[vocab] compact size {vocab.size} (full 30522)", flush=True)
+    vocab.save(os.path.join(out_root, "compact_vocab.npz"))
+    corpus_ids = vocab.remap(corpus_ids)
+    train = remap_pairing(train, vocab)
+    test = remap_pairing(test, vocab)
+    bert_cfg = dataclasses.replace(
+        bert_config or bert_mod.BertConfig(), vocab_size=vocab.size
+    )
+
+    if bert_ckpt:
+        bert_params = load_pytree(bert_ckpt)
+    else:
+        cfg = MLMConfig(
+            batch_size=mlm_batch, learning_rate=mlm_lr, total_steps=mlm_steps,
+            warmup_steps=max(50, mlm_steps // 20), mask_id=vocab.mask_id,
+            cls_id=vocab.cls_id, sep_id=vocab.sep_id, pad_id=vocab.pad_id,
+        )
+        pre = MLMPretrainer(bert_cfg, cfg)
+        bert_params, history = pre.fit(corpus_ids, corpus_mask, echo=echo)
+        save_pytree(os.path.join(out_root, "bert_mlm.pickle"), bert_params)
+        with open(os.path.join(out_root, "mlm_history.json"), "w") as f:
+            json.dump(history, f)
+
+    job.bert_params = bert_params
+    return job.train_on(
+        train, test, "demo", path_suffix, "ti", "lapacian_dropout",
+        epsilon=epsilon, bert_config=bert_cfg,
+    )

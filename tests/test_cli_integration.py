@@ -84,3 +84,33 @@ def test_cli_process_runs(tmp_path):
     rc = cli.main(["process", str(raw), "--out", str(out)])
     assert rc == 0
     assert (out / "train_EEG.csv").exists()
+
+
+def test_pretrain_finetune_pipeline(data_tree):
+    """The weights-free accuracy pipeline end-to-end on the synthetic tree
+    (tiny shapes): compact vocab build, MLM pretraining, faithful fine-tune,
+    artifacts under the run dir."""
+    from test_trainer import TINY_BERT
+
+    from eeg_multimodal_tpu.train.mlm import pretrain_finetune_mlm
+
+    out = data_tree / "run"
+    result = pretrain_finetune_mlm(
+        str(data_tree), str(out), mlm_steps=4, mlm_batch=4, epochs=1,
+        batch_size=4, learning_rate=1e-3, compute_dtype="float32",
+        bert_config=TINY_BERT, echo=False,
+    )
+    assert np.isfinite(result["history"][0]["train_loss"])
+    assert (out / "bert_mlm.pickle").exists()
+    assert (out / "compact_vocab.npz").exists()
+    assert (out / "mlm_history.json").exists()
+    assert (out / "logs" / "demo" / "DPMLD" / "whole_record.txt").exists()
+
+    # resume from the saved encoder (bert_ckpt path)
+    result2 = pretrain_finetune_mlm(
+        str(data_tree), str(out), epochs=1, batch_size=4,
+        learning_rate=1e-3, compute_dtype="float32",
+        bert_config=TINY_BERT, bert_ckpt=str(out / "bert_mlm.pickle"),
+        echo=False,
+    )
+    assert np.isfinite(result2["history"][0]["train_loss"])

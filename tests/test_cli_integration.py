@@ -86,6 +86,7 @@ def test_cli_process_runs(tmp_path):
     assert (out / "train_EEG.csv").exists()
 
 
+@pytest.mark.slow
 def test_pretrain_finetune_pipeline(data_tree):
     """The weights-free accuracy pipeline end-to-end on the synthetic tree
     (tiny shapes): compact vocab build, MLM pretraining, faithful fine-tune,

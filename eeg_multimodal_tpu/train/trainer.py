@@ -81,6 +81,14 @@ class TrainConfig:
     # a zero cotangent) costs more than the saved forward. Kept as a
     # documented option; default off.
     paired_phase_encode: bool = False
+    # Write the best-F1 torch checkpoint once at the end of fit() (from a
+    # device-side copy of the best params) instead of on every improvement.
+    # Same final artifact as the reference's per-improvement torch.save
+    # (base_train.py:251) at a fraction of the wall clock: a full-vocab
+    # BERT-base serialize through the device tunnel measures ~35 s, and
+    # early epochs improve F1 almost every epoch. Set False for
+    # per-improvement durability (or use pipeline.ResumableTrainer).
+    defer_best_checkpoint: bool = True
 
 
 class StepFunctions:
@@ -488,12 +496,33 @@ class Trainer:
                 f1_best = row["f1"]
                 best_record = row
                 if model_path:
-                    ckpt.save_torch_checkpoint(
-                        model_path, self.export_params(), self.fusion_cfg
-                    )
+                    if cfg.defer_best_checkpoint:
+                        # device-side copy (~0.5 s) instead of a full
+                        # device->host serialize per improvement (~35 s at
+                        # BERT-base over the device tunnel); the torch
+                        # checkpoint is written once after the loop — same
+                        # final artifact as the reference's per-improvement
+                        # torch.save (base_train.py:251)
+                        best_params = jax.tree_util.tree_map(
+                            jnp.array, self.params
+                        )
+                    else:
+                        ckpt.save_torch_checkpoint(
+                            model_path, self.export_params(), self.fusion_cfg
+                        )
                 if recorder and rec:
                     recorder.best_record(rec)
             if epoch_end_hook is not None:
                 epoch_end_hook(epoch)
+
+        if model_path and cfg.defer_best_checkpoint and best_record is not None:
+            live = self.params
+            self.params = best_params
+            try:
+                ckpt.save_torch_checkpoint(
+                    model_path, self.export_params(), self.fusion_cfg
+                )
+            finally:
+                self.params = live
 
         return {"history": history, "best": best_record, "f1_best": f1_best}

@@ -215,3 +215,32 @@ def test_paired_phase_encode_is_exact_rewrite():
         np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
         np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-5)
         np.testing.assert_allclose(a["test_acc"], b["test_acc"], rtol=1e-6)
+
+
+def test_deferred_best_checkpoint_matches_best_epoch(tmp_path):
+    """defer_best_checkpoint writes, at the END of fit, the params of the
+    BEST epoch (not the last) — same artifact as the reference's
+    per-improvement torch.save at a fraction of the tunnel traffic."""
+    tr = make_trainer(epochs=3, lr=1e-2)
+    train, test = tiny_dataset(10), tiny_dataset(6, seed=1)
+    snaps = {}
+
+    def hook(epoch):
+        snaps[epoch] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32).copy(), tr.params
+        )
+
+    model_path = str(tmp_path / "best_f1.pickle")
+    out = tr.fit(train, test, epsilon=1.0, model_path=model_path,
+                 echo=False, epoch_end_hook=hook)
+    assert out["best"] is not None
+    best_epoch = out["best"]["epoch"] - 1  # rows are 1-based
+    loaded = ckpt.load_torch_checkpoint(model_path, tr.fusion_cfg)
+    want = snaps[best_epoch]
+    np.testing.assert_allclose(
+        np.asarray(loaded["DP"], np.float32), want["DP"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["classifier"]["kernel"], np.float32),
+        want["classifier"]["kernel"], rtol=1e-6,
+    )

@@ -246,14 +246,23 @@ def _should_interpret() -> bool:
 
 
 def attention_available(S: int, D: int) -> bool:
-    """Gate for the single-block kernel.
+    """Gate for the blocked kernel, backed by measurement.
 
-    Needs the whole head in VMEM (S*S f32 scores + operands under the ~16 MB
-    budget) and S large enough that HBM score materialization actually hurts
-    — measured on v5e: at S=128 XLA's fused einsum wins (2.85 vs 3.38 ms
-    BERT fwd), at S=512 the kernel wins (10.4 vs 18.6 ms)."""
+    Needs the whole head-block in VMEM (S*S f32 scores + operands under the
+    ~16 MB budget) and S large enough that HBM score materialization hurts.
+    tools/bench_attention.py, v5e, 12-layer BERT-base batch 8 bf16 with
+    attention-prob dropout, kernel/einsum time ratios (round 2, with the
+    head-blocked grid):
+
+        S=128: fwd 1.22  fwd+bwd 1.23   -> einsum wins
+        S=256: fwd 0.95  fwd+bwd 1.13   -> mixed; einsum kept
+        S=512: fwd 0.83  fwd+bwd 0.80   -> kernel wins both passes
+
+    so the kernel dispatches only from S=512 (the reference's legacy
+    512-token path); the flagship S<=128 training path stays on XLA's fused
+    einsum, which is the honest winner there."""
     vmem = S * S * 4 + 5 * S * D * 4
     return (
-        S % 128 == 0 and D % 64 == 0 and S >= 256
+        S % 128 == 0 and D % 64 == 0 and S >= 512
         and vmem < 8 * 1024 * 1024
     )

@@ -107,8 +107,17 @@ class SweepRunner:
         keys = self._place_stacked(jnp.stack(
             [key_chain(set_seed(m.seed), "init") for m in members]
         ))
-        init_one = lambda k: fusion.init(k, self.fusion_cfg, self.bert_params)
-        params = jax.jit(jax.vmap(init_one))(keys)
+        # bert_params must be a jit ARGUMENT, not a closure constant: baked
+        # in, a BERT-base tree becomes ~350 MB of program constants, which
+        # the axon remote-compile tunnel rejects (HTTP 413 / EOF)
+        if self.bert_params is not None:
+            init_one = lambda k, bp: fusion.init(k, self.fusion_cfg, bp)
+            params = jax.jit(jax.vmap(init_one, in_axes=(0, None)))(
+                keys, self.bert_params
+            )
+        else:
+            init_one = lambda k: fusion.init(k, self.fusion_cfg, None)
+            params = jax.jit(jax.vmap(init_one))(keys)
         if self.mesh is not None:
             params = self._place_stacked(params)
         dp_os, model_os = jax.vmap(self.steps.init_opt_states)(params)

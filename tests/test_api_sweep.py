@@ -98,3 +98,36 @@ def test_sweep_seed_variation():
     )
     out = runner.run(tiny_dataset(8), tiny_dataset(4, seed=1), echo=False)
     assert out[0]["history"][0]["train_loss"] != out[1]["history"][0]["train_loss"]
+
+
+def test_sweep_with_injected_bert_params():
+    """SweepRunner(bert_params=...) threads the encoder init as a jit
+    argument (not a baked constant — a BERT-base tree as program constants
+    overflows the remote-compile transport) and every member starts from it."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from eeg_multimodal_tpu.models import bert as bert_mod
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.sweep import SweepMember, SweepRunner
+    from eeg_multimodal_tpu.train.trainer import TrainConfig
+    from test_trainer import TINY_BERT, tiny_dataset
+
+    bert_params = bert_mod.init(jax.random.PRNGKey(5), TINY_BERT)
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, learning_rate=1e-3, epochs=1)
+    runner = SweepRunner(fc, tc, [SweepMember(0.1), SweepMember(1.0)],
+                         bert_params=bert_params)
+    params, _, _ = runner._init_members(runner.members)
+    # every member's word table equals the injected encoder's
+    word = np.asarray(bert_params["embeddings"]["word"])
+    for s in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(params["bert"]["embeddings"]["word"][s]), word
+        )
+    out = runner.run(tiny_dataset(8), tiny_dataset(6, seed=1), echo=False)
+    assert all(np.isfinite(r["history"][0]["train_loss"]) for r in out)

@@ -94,7 +94,12 @@ class GetEmbedding:
             if self.clip_weights and os.path.exists(self.clip_weights):
                 with open(self.clip_weights, "rb") as f:
                     sd = pickle.load(f)
-                params, cfg = vit_mod.from_clip_state_dict(sd, cfg)
+                if isinstance(sd, dict) and "conv" in sd:
+                    # our own pytree (e.g. the contrastive-pretrained tower,
+                    # train/contrastive.py) saved via checkpoint.save_pytree
+                    params = sd
+                else:
+                    params, cfg = vit_mod.from_clip_state_dict(sd, cfg)
             else:
                 params = vit_mod.init(jax.random.PRNGKey(0), cfg)
             params = jax.device_put(params)

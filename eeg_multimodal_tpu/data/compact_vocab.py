@@ -71,11 +71,24 @@ class CompactVocab:
 
     # -- id remapping ---------------------------------------------------------
     def remap(self, ids: np.ndarray) -> np.ndarray:
-        """Full-vocab ids -> compact ids. Unknown ids map to compact UNK."""
+        """Full-vocab ids -> compact ids. Unknown ids map to compact UNK;
+        if the vocab carries no UNK row (tiny test vocabs, or built with
+        add_specials=False), unknown ids are a hard error rather than a
+        silent -1 that would index the embedding table from the end."""
         ids = np.asarray(ids)
         out = self.old_to_new[ids]
         if (out < 0).any():
-            out = np.where(out < 0, self.old_to_new[UNK_ID], out)
+            unk = (
+                self.old_to_new[UNK_ID]
+                if UNK_ID < self.full_vocab else np.int64(-1)
+            )
+            if unk < 0:
+                bad = np.unique(ids[out < 0])
+                raise ValueError(
+                    f"ids {bad[:10].tolist()} are outside the compact vocab "
+                    "and it has no [UNK] row to fall back to"
+                )
+            out = np.where(out < 0, unk, out)
         return out.astype(ids.dtype)
 
     def unmap(self, ids: np.ndarray) -> np.ndarray:

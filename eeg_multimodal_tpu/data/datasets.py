@@ -171,7 +171,7 @@ def truncate_tokens(arrays: "MultiModalArrays", multiple: int = 16,
     sublane tile) is all the alignment the MXU needs — rounding the 65-token
     committed rows to 80 instead of 128 removes another 37% of encoder work
     with identical logits. (The fused attention kernel wants S%128 == 0,
-    but its measured dispatch only selects it at S >= 256 anyway —
+    but its measured dispatch only selects it at S >= 512 anyway —
     ops/attention.py.)
 
     Mathematically exact: padded positions carry -inf attention bias, the

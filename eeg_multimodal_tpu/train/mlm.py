@@ -111,12 +111,16 @@ def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int)
     return corrupted, input_ids, selected
 
 
-def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key):
+def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key,
+             train: bool = True):
     k_mask, k_drop = jax.random.split(key)
     corrupted, labels, selected = mask_tokens(
         k_mask, batch_ids, batch_mask, cfg, bert_cfg.vocab_size
     )
-    logits = mlm_logits(bert_params, head, corrupted, batch_mask, bert_cfg, k_drop)
+    logits = mlm_logits(
+        bert_params, head, corrupted, batch_mask, bert_cfg,
+        k_drop if train else None,  # eval: no encoder dropout
+    )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = selected.astype(jnp.float32)
@@ -216,7 +220,9 @@ class MLMPretrainer:
         return self.bert_params, history
 
     def eval_loss(self, corpus_ids, corpus_mask, n_batches: int = 20) -> float:
-        """Mean MLM loss over held-out rows (fixed key per batch)."""
+        """Mean MLM loss over held-out rows (fixed key per batch; eval
+        semantics — the mask sampling stays stochastic but encoder dropout
+        is OFF, so the number isn't inflated by train-mode noise)."""
         cfg = self.cfg
         ids = jnp.asarray(corpus_ids, jnp.int32)
         mask = jnp.asarray(corpus_mask, jnp.int32)
@@ -226,7 +232,7 @@ class MLMPretrainer:
             idx = jax.random.randint(key, (cfg.batch_size,), 0, ids.shape[0])
             return mlm_loss(
                 params["bert"], params["head"], ids[idx], mask[idx],
-                self.bert_cfg, cfg, key,
+                self.bert_cfg, cfg, key, train=False,
             )
 
         params = {"bert": self.bert_params, "head": self.head}
@@ -304,7 +310,14 @@ def pretrain_finetune_mlm(
             corpus_dicts.append(D.load_bert_pickle(path))
     corpus_ids, corpus_mask = build_corpus(corpus_dicts)
 
-    vocab = build_compact_vocab([d["input_ids"] for d in corpus_dicts])
+    # vocab over the MLM corpus AND both splits' token streams: on the
+    # committed data test ids are a subset of train's, but a user tree may
+    # carry test-only numeric surfaces, and remapping those to [UNK] would
+    # silently deviate from the faithful semantics
+    vocab = build_compact_vocab(
+        [d["input_ids"] for d in corpus_dicts]
+        + [train.eeg_input, test.eeg_input]
+    )
     if echo:
         print(f"[vocab] compact size {vocab.size} (full 30522)", flush=True)
     vocab.save(os.path.join(out_root, "compact_vocab.npz"))

@@ -134,9 +134,14 @@ class SweepRunner:
         pad = 0
         if self._member_deg > 1 and len(members) % self._member_deg:
             # pad the grid so every chunk tiles the data axis; padded
-            # members are copies whose results are dropped below
+            # members are copies whose results are dropped below. The
+            # "__pad__" label keeps them out of the recorders — the copy
+            # shares the real member's name, and a second RunRecorder on the
+            # same directory would append duplicate epoch rows.
             pad = self._member_deg - len(members) % self._member_deg
-            members = members + [members[-1]] * pad
+            members = members + [
+                dataclasses.replace(members[-1], label="__pad__")
+            ] * pad
         n_chunks = -(-len(members) // self.chunk)
         if echo and n_chunks > 1:
             print(
@@ -167,7 +172,8 @@ class SweepRunner:
         n_train, n_test = len(train_data), len(test_data)
 
         recorders = [
-            RunRecorder(f"{log_root}/{m.name}/", echo=False) if log_root else None
+            RunRecorder(f"{log_root}/{m.name}/", echo=False)
+            if log_root and m.label != "__pad__" else None
             for m in members
         ]
         f1_best = [cfg.f1_best_init] * S

@@ -214,3 +214,37 @@ def test_trainer_export_params_expands_word_table():
     np.testing.assert_array_equal(
         cv.compact_embeddings(word), np.asarray(tr.params["bert"]["embeddings"]["word"])
     )
+
+
+def test_remap_raises_without_unk_row():
+    """Unknown ids with no [UNK] row are a hard error, not a silent -1."""
+    cv = build_compact_vocab([np.asarray([[1, 5, 7]])], full_vocab=64)
+    with pytest.raises(ValueError, match="UNK"):
+        cv.remap(np.asarray([9]))
+
+
+def test_eval_loss_has_no_encoder_dropout():
+    """eval_loss must measure without train-mode dropout: same key, train
+    flag off -> deterministic logits; with dropout on the losses differ."""
+    from eeg_multimodal_tpu.train.mlm import MLMConfig, mlm_loss
+
+    cv = build_compact_vocab([toy_ids(jax.random.PRNGKey(0), 8, 16, 60)[0]],
+                             full_vocab=512)
+    tiny = bert_mod.BertConfig(
+        vocab_size=cv.size, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position_embeddings=16,
+    )
+    cfg = MLMConfig(mask_id=cv.mask_id, cls_id=cv.cls_id, sep_id=cv.sep_id,
+                    pad_id=cv.pad_id)
+    full_ids, mask = toy_ids(jax.random.PRNGKey(0), 4, 16, 60)
+    ids = cv.remap(full_ids)  # into the compact id space
+    bert = bert_mod.init(jax.random.PRNGKey(2), tiny)
+    from eeg_multimodal_tpu.train.mlm import head_init
+
+    head = head_init(jax.random.PRNGKey(3), tiny)
+    key = jax.random.PRNGKey(4)
+    e1 = float(mlm_loss(bert, head, ids, mask, tiny, cfg, key, train=False))
+    e2 = float(mlm_loss(bert, head, ids, mask, tiny, cfg, key, train=False))
+    t1 = float(mlm_loss(bert, head, ids, mask, tiny, cfg, key, train=True))
+    assert e1 == e2            # eval is dropout-free per key
+    assert abs(t1 - e1) > 0    # train applies dropout noise

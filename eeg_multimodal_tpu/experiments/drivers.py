@@ -41,7 +41,7 @@ class _Driver:
         import os
 
         return os.path.exists(os.path.join(
-            self.python_job.data_root, "logs", cfg["train_type"],
+            self.python_job.artifacts_root, "logs", cfg["train_type"],
             cfg["path_suffix"], "best_record.txt",
         ))
 

@@ -15,7 +15,7 @@ the same artifacts, with the TPU trainer underneath.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 from ..data import datasets as D
 from ..dp.dpsgd import DPSGDConfig
@@ -44,6 +44,7 @@ class TrainAndTest:
         compute_dtype: str = "bfloat16",
         bert_params=None,
         echo: bool = True,
+        artifacts_root: Optional[str] = None,
     ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -52,6 +53,10 @@ class TrainAndTest:
         self.compute_dtype = compute_dtype
         self.bert_params = bert_params
         self.echo = echo
+        # logs/checkpoints root; defaults to data_root (the reference writes
+        # artifacts next to its data). Passing it separately lets drivers
+        # read one shared data tree while writing run artifacts elsewhere.
+        self.artifacts_root = artifacts_root or data_root
 
     # -- dataset resolution (base_train.py:77-125) ---------------------------
     def _embedding_path(self, modal: str, repr_: str, model: str, coef: str, split: str):
@@ -167,10 +172,12 @@ class TrainAndTest:
                 bert_params["embeddings"] = emb
 
         model_path = os.path.join(
-            self.data_root, "models", "custom", train_type, path_suffix,
+            self.artifacts_root, "models", "custom", train_type, path_suffix,
             "best_f1.pickle",
         )
-        log_path = os.path.join(self.data_root, "logs", train_type, path_suffix)
+        log_path = os.path.join(
+            self.artifacts_root, "logs", train_type, path_suffix
+        )
 
         fc = fusion.config_for(
             multimodal_type, dp_mode, cross_atn_type,

@@ -168,7 +168,7 @@ class ContrastivePretrainer:
             )
             return params, opt_state, losses
 
-        chunk_jit = jax.jit(chunk, static_argnums=(3,))
+        chunk_jit = jax.jit(chunk, static_argnums=(3,), donate_argnums=(0, 1))
         key = jax.random.PRNGKey(cfg.seed + 1)
         params, opt_state = self.params, self.opt_state
         history = []

@@ -70,8 +70,19 @@ else:
         ))
         for modal in ("EEG", "act")
     ]
+    test_streams = [
+        D.load_bert_pickle(os.path.join(
+            emb_root, modal, "txt", "bert_bert_base_cased", "test.pickle"
+        ))["input_ids"]
+        for modal in ("EEG", "act")
+    ]
     ids, mask = mlm.build_corpus(corpus)
-    vocab = build_compact_vocab([d["input_ids"] for d in corpus])
+    # vocab over BOTH splits in the cased coef's own id space
+    cased_full = bert_mod.BertConfig.for_coef("bert-base-cased").vocab_size
+    vocab = build_compact_vocab(
+        [d["input_ids"] for d in corpus] + test_streams,
+        full_vocab=cased_full,
+    )
     print(f"[cased] compact size {vocab.size}", flush=True)
     ids = vocab.remap(ids)
     cfg = mlm.MLMConfig(
@@ -85,10 +96,9 @@ else:
     encoders["bert-base-cased"] = expanded_encoder(params, vocab)
     save_pytree(cased_ckpt, encoders["bert-base-cased"])
 
-job_data = TrainAndTest(epochs=args.epochs, data_root=args.data_root)
 for txt_coef, bert in encoders.items():
-    job = TrainAndTest(epochs=args.epochs, data_root=args.out, bert_params=bert)
-    job._load_split = job_data._load_split
+    job = TrainAndTest(epochs=args.epochs, data_root=args.data_root,
+                       artifacts_root=args.out, bert_params=bert)
     drv = CompareModelInitWeight(python_job=job)
     for cfg in drv.configs():
         if cfg["eeg_model_coef"] != txt_coef:

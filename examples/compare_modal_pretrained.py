@@ -41,7 +41,6 @@ emb = dict(bert["embeddings"])
 emb["word"] = vocab.expand_embeddings(np.asarray(emb["word"]))
 bert = {**bert, "embeddings": emb}
 
-job_data = TrainAndTest(epochs=args.epochs, data_root=args.data_root)
-job = TrainAndTest(epochs=args.epochs, data_root=args.out, bert_params=bert)
-job._load_split = job_data._load_split  # data from data_root, artifacts to out
+job = TrainAndTest(epochs=args.epochs, data_root=args.data_root,
+                   artifacts_root=args.out, bert_params=bert)
 CompareModal(python_job=job).run()

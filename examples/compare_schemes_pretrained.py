@@ -43,7 +43,6 @@ emb["word"] = vocab.expand_embeddings(np.asarray(emb["word"]))
 bert = {**bert, "embeddings": emb}
 print(f"[schemes] expanded word table to {emb['word'].shape}", flush=True)
 
-job = TrainAndTest(epochs=args.epochs, data_root=args.data_root, bert_params=bert)
-job_out = TrainAndTest(epochs=args.epochs, data_root=args.out, bert_params=bert)
-job_out._load_split = job._load_split  # data from data_root, artifacts to out
-ComparePrivateScheme(python_job=job_out).run()
+job = TrainAndTest(epochs=args.epochs, data_root=args.data_root,
+                   artifacts_root=args.out, bert_params=bert)
+ComparePrivateScheme(python_job=job).run()

@@ -46,7 +46,8 @@ if not args.skip_train:
     eeg = load_feature_csv(os.path.join(args.data_root, "data/processed/train_EEG.csv"))
     act = load_feature_csv(os.path.join(args.data_root, "data/processed/train_act.csv"))
     cfg = C.ContrastiveConfig(batch_size=args.batch, total_steps=args.steps)
-    pre = C.ContrastivePretrainer(ViTConfig(), cfg)
+    pre = C.ContrastivePretrainer(ViTConfig(), cfg,
+                                  eeg_dim=eeg.shape[1], act_dim=act.shape[1])
     vit_params, hist = pre.fit(eeg, act)
     with open(tower_path, "wb") as f:
         pickle.dump(jax.tree_util.tree_map(np.asarray, vit_params), f)

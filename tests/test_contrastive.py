@@ -1,4 +1,4 @@
-"""Cross-modal contrastive pretraining of the visual tower (train/contrastive.py)."""
+"""Rendering-inversion (+ auxiliary InfoNCE) pretraining of the visual tower."""
 import dataclasses
 
 import numpy as np
@@ -40,7 +40,7 @@ def test_contrastive_loss_decreases():
                               compute_dtype="float32")
     pre = C.ContrastivePretrainer(TINY_VIT, cfg)
     vit_params, hist = pre.fit(eeg, act, echo=False)
-    # starts near log(B)=2.08 and trains down
+    # loss = inversion MSE (~2x target variance at init) + 0.1*InfoNCE
     assert hist[-1]["loss"] < hist[0]["loss"] - 0.1
     # trained tower encodes to the configured dim
     imgs = jax.vmap(lambda r: jnp.stack([jnp.zeros((224, 224))] * 3))(jnp.zeros((2, 1)))

@@ -11,6 +11,7 @@ Subcommands:
   embed     — build the embedding tree             (ref get_embedding.py:137)
   process   — raw task txt -> processed CSVs       (ref process.py, data.sh)
   pretrain  — weights-free MLM pretrain + DP-MLD fine-tune (ACCURACY.md)
+  predict   — evaluate a trained checkpoint; per-sample predictions CSV
 """
 from __future__ import annotations
 
@@ -103,6 +104,21 @@ def main(argv=None):
     sp.add_argument("--bert_ckpt", default=None,
                     help="skip MLM; load encoder from this pickle")
 
+    sp = sub.add_parser("predict")
+    add_common(sp)
+    sp.add_argument("checkpoint")
+    sp.add_argument("--multimodal_type", default="ti", choices=["ti", "tt", "it", "ii"])
+    sp.add_argument("--dp_mode", default="lapacian_dropout")
+    sp.add_argument("--eeg_model", default="bert")
+    sp.add_argument("--eeg_model_coef", default="bert-base-uncased")
+    sp.add_argument("--act_model", default="clip")
+    sp.add_argument("--act_model_coef", default="ViT-B/32")
+    sp.add_argument("--cross_atn_type", default="double_stream")
+    sp.add_argument("--epsilon", "-e", type=float, default=0.1)
+    sp.add_argument("--split", default="test")
+    sp.add_argument("--n_eval", type=int, default=1)
+    sp.add_argument("--out_csv", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "process":
@@ -176,6 +192,17 @@ def main(argv=None):
         epochs=args.epochs, data_root=args.data_root,
         compute_dtype=args.dtype,
     )
+
+    if args.cmd == "predict":
+        out = job.predict(
+            args.checkpoint, args.multimodal_type, args.dp_mode,
+            args.eeg_model, args.eeg_model_coef, args.act_model,
+            args.act_model_coef, args.cross_atn_type, args.epsilon,
+            split=args.split, n_eval=args.n_eval, out_csv=args.out_csv,
+        )
+        print(f"{args.split}: loss {out['loss']:.4f} acc {out['accuracy']:.3f} "
+              f"f1 {out['f1']:.3f}" + (f" -> {args.out_csv}" if args.out_csv else ""))
+        return 0
 
     if args.cmd == "demo":
         from .experiments.drivers import Demo

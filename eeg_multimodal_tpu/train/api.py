@@ -213,3 +213,84 @@ class TrainAndTest:
             train_data, test_data, epsilon,
             log_path=log_path, model_path=model_path, echo=self.echo,
         )
+
+    # -- inference on a trained checkpoint -----------------------------------
+    def predict(
+        self,
+        checkpoint: str,
+        multimodal_type: str = "ti",
+        dp_mode: str = "lapacian_dropout",
+        eeg_model: str = "bert",
+        eeg_model_coef: str = "bert-base-uncased",
+        act_model: str = "clip",
+        act_model_coef: str = "ViT-B/32",
+        cross_atn_type: str = "double_stream",
+        epsilon: float = 0.1,
+        split: str = "test",
+        n_eval: int = 1,
+        seed: int = 980616,
+        out_csv: Optional[str] = None,
+        bert_config=None,
+    ):
+        """Evaluate a trained best_f1 checkpoint on a split.
+
+        Productizes the reference's manual checkpoint-evaluation flows
+        (train_val.py:508-515 test(), test_0425.py): loads the torch-format
+        state dict, runs the stochastic eval epoch (hard=True, n_eval
+        repeated noise draws majority-voted like the legacy trainer), and
+        optionally writes per-sample predictions to ``out_csv``.
+        Returns {"loss", "accuracy", "f1", "predictions", "labels", "scores"}.
+        """
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from ..data.datasets import epoch_indices, truncate_tokens
+        from ..train import metrics as M
+        from ..utils.seeding import set_seed
+        from .checkpoint import load_torch_checkpoint
+        from .trainer import StepFunctions
+
+        data = self._load_split(
+            split, multimodal_type, eeg_model, eeg_model_coef,
+            act_model, act_model_coef,
+        )
+        data = truncate_tokens(data)
+        fc = fusion.config_for(
+            multimodal_type, dp_mode, cross_atn_type,
+            bert_coef=eeg_model_coef, dtype="float32",
+        )
+        if bert_config is not None:
+            fc = dataclasses.replace(fc, bert_config=bert_config)
+        params = load_torch_checkpoint(checkpoint, fc)
+        tc = TrainConfig(
+            batch_size=self.batch_size, compute_dtype=self.compute_dtype,
+            n_eval=n_eval,
+        )
+        steps = StepFunctions(fc, tc)
+        key = set_seed(seed)
+        idx, w = epoch_indices(key, len(data), self.batch_size, shuffle=False)
+        loss, acc, preds, labels, scores, ws = steps.eval_epoch(
+            params, data.device_put(), idx, w, epsilon, key
+        )
+        sel = np.asarray(ws) > 0
+        preds_np = np.asarray(preds)[sel]
+        labels_np = np.asarray(labels)[sel]
+        out = {
+            "loss": float(loss),
+            "accuracy": float((preds_np == labels_np).mean()),
+            "f1": float(M.f1_binary(preds_np, labels_np)),
+            "predictions": preds_np,
+            "labels": labels_np,
+            "scores": np.asarray(scores)[sel],
+        }
+        if out_csv:
+            os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+            with open(out_csv, "w") as f:
+                f.write("index,prediction,label,score\n")
+                for i, (p, l, s) in enumerate(
+                    zip(out["predictions"], out["labels"], out["scores"])
+                ):
+                    f.write(f"{i},{int(p)},{int(l)},{float(s):.6f}\n")
+        return out

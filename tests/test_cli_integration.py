@@ -115,3 +115,47 @@ def test_pretrain_finetune_pipeline(data_tree):
         echo=False,
     )
     assert np.isfinite(result2["history"][0]["train_loss"])
+
+
+def test_cli_predict_roundtrip(data_tree, monkeypatch):
+    """Train via train_on (writing a best-F1 checkpoint), then `cli predict`
+    evaluates it and writes a per-sample predictions CSV."""
+    import dataclasses
+
+    import eeg_multimodal_tpu.models.fusion as F
+    import eeg_multimodal_tpu.train.api as api_mod
+    from test_trainer import TINY_BERT
+
+    small = dataclasses.replace(TINY_BERT, max_position_embeddings=512)
+    orig = F.config_for
+
+    def small_config_for(*a, **kw):
+        return dataclasses.replace(orig(*a, **kw), bert_config=small)
+
+    monkeypatch.setattr(F, "config_for", small_config_for)
+    monkeypatch.setattr(api_mod.fusion, "config_for", small_config_for)
+
+    # write a checkpoint in the reference layout (training only checkpoints
+    # on an f1 improvement, which random fixture data need not produce)
+    import jax
+
+    from eeg_multimodal_tpu.train import checkpoint as ckpt_mod
+
+    fc = small_config_for("ti", "lapacian_dropout")
+    params = F.init(jax.random.PRNGKey(0), fc)
+    ckpt = data_tree / "models" / "custom" / "predtest" / "run" / "best_f1.pickle"
+    os.makedirs(ckpt.parent, exist_ok=True)
+    ckpt_mod.save_torch_checkpoint(str(ckpt), params, fc)
+
+    out_csv = data_tree / "preds.csv"
+    rc = cli.main([
+        "predict", str(ckpt), "--data_root", str(data_tree), "-bs", "4",
+        "--dtype", "float32", "--out_csv", str(out_csv),
+    ])
+    assert rc == 0
+    lines = out_csv.read_text().strip().splitlines()
+    assert lines[0] == "index,prediction,label,score"
+    assert len(lines) == 1 + 6  # test split has 6 samples
+    for row in lines[1:]:
+        i, p, l, s = row.split(",")
+        assert p in ("0", "1") and l in ("0", "1")

@@ -417,7 +417,10 @@ def recover_numeric_vocab(
     while progress:
         progress = False
         tmp = WordPiece(vocab, special)
-        for w in sorted(all_words - set(word_map), key=len):
+        # deterministic order: sets iterate in hash order (randomized per
+        # process), and which word is tried first decides how residual
+        # ambiguity resolves — sort ties lexicographically
+        for w in sorted(all_words - set(word_map), key=lambda s: (len(s), s)):
             pred = tuple(tmp.wordpiece(w))
             if pred == (tmp.unk_id,):
                 continue
@@ -431,7 +434,7 @@ def recover_numeric_vocab(
             derive_pieces()
 
     # -- phase 5: resolve stragglers to any globally-feasible run ------------
-    for w in sorted(all_words - set(word_map), key=len):
+    for w in sorted(all_words - set(word_map), key=lambda s: (len(s), s)):
         words, body = occurrences[w][0]
         i = words.index(w)
         # candidate runs at this occurrence

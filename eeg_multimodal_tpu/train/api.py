@@ -127,6 +127,7 @@ class TrainAndTest:
         bert_config=None,
         auto_truncate: bool = True,
         compact_vocab: bool = False,
+        vocab=None,
     ):
         """In-memory variant of :meth:`train` (datasets already built).
 
@@ -140,15 +141,24 @@ class TrainAndTest:
         and ~20% less optimizer HBM traffic; checkpoints export with the
         word table scattered back to full-vocab rows. Not applied to the
         DPSGD path (its trainable subtree excludes the embedding table).
+
+        ``vocab``: a prebuilt ``data.compact_vocab.CompactVocab`` when the
+        caller already remapped the datasets (and bert_params) itself —
+        e.g. the MLM pretrain pipeline. The Trainer needs it so the exported
+        checkpoint scatters the compact word table back to full-vocab rows
+        (the documented checkpoint contract). Mutually exclusive with
+        ``compact_vocab=True``.
         """
         import dataclasses
+
+        if compact_vocab and vocab is not None:
+            raise ValueError("pass either compact_vocab=True or a prebuilt vocab")
 
         if auto_truncate:
             from ..data.datasets import truncate_pair
 
             train_data, test_data = truncate_pair(train_data, test_data)
 
-        vocab = None
         bert_params = self.bert_params
         if compact_vocab and dp_mode != "DPSGD" and "t" in multimodal_type:
             from ..data.compact_vocab import build_compact_vocab, remap_pairing
@@ -264,6 +274,24 @@ class TrainAndTest:
         if bert_config is not None:
             fc = dataclasses.replace(fc, bert_config=bert_config)
         params = load_torch_checkpoint(checkpoint, fc)
+        # Guard against a vocab mismatch between checkpoint and data: XLA
+        # clamps out-of-range gathers silently, which would produce garbage
+        # metrics instead of an error (e.g. a compact-vocab checkpoint fed
+        # full-vocab ids — exported checkpoints are full-vocab by contract,
+        # but a user may point at an internal/partial artifact).
+        if "bert" in params:
+            rows = int(np.shape(params["bert"]["embeddings"]["word"])[0])
+            for stream, is_txt in (
+                (data.eeg_input, multimodal_type[0] == "t"),
+                (data.act_input, multimodal_type[1] == "t"),
+            ):
+                if is_txt and int(np.max(stream)) >= rows:
+                    raise ValueError(
+                        f"token id {int(np.max(stream))} out of range for the "
+                        f"checkpoint's {rows}-row embedding table — the "
+                        "checkpoint was trained on a different (compact?) "
+                        "vocabulary than this data tree"
+                    )
         tc = TrainConfig(
             batch_size=self.batch_size, compute_dtype=self.compute_dtype,
             n_eval=n_eval,

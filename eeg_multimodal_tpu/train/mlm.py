@@ -297,7 +297,9 @@ def pretrain_finetune_mlm(
     )
     train = job._load_split("train", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
     test = job._load_split("test", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
-    job.data_root = out_root  # logs/checkpoints under the run dir
+    # logs/checkpoints under the run dir (train_on resolves model_path and
+    # log_path from artifacts_root, which __init__ bound to data_root)
+    job.artifacts_root = out_root
     train, test = D.truncate_pair(train, test)
 
     emb_root = os.path.join(data_root, "data", "embedding")
@@ -346,4 +348,9 @@ def pretrain_finetune_mlm(
     return job.train_on(
         train, test, "demo", path_suffix, "ti", "lapacian_dropout",
         epsilon=epsilon, bert_config=bert_cfg,
+        # data/bert_params are already compact-remapped above; handing the
+        # vocab to the Trainer makes the exported best_f1.pickle scatter the
+        # word table back to full-vocab rows (checkpoint contract; without
+        # it `cli predict` would gather full-vocab ids out of range)
+        vocab=vocab,
     )

@@ -89,6 +89,12 @@ class TrainConfig:
     # early epochs improve F1 almost every epoch. Set False for
     # per-improvement durability (or use pipeline.ResumableTrainer).
     defer_best_checkpoint: bool = True
+    # With deferral on, still flush a pending (unwritten) best checkpoint to
+    # disk every N epochs, so a multi-hour run killed mid-loop keeps a
+    # recoverable best artifact instead of losing it entirely (the
+    # reference's per-improvement torch.save is always durable). 0 = never
+    # flush before the end of fit().
+    defer_flush_epochs: int = 20
 
 
 class StepFunctions:
@@ -481,6 +487,17 @@ class Trainer:
         f1_best = cfg.f1_best_init
         best_record = None
         history = []
+        best_pending = False  # deferred best params not yet on disk
+
+        def write_best(best_params):
+            live = self.params
+            self.params = best_params
+            try:
+                ckpt.save_torch_checkpoint(
+                    model_path, self.export_params(), self.fusion_cfg
+                )
+            finally:
+                self.params = live
 
         for epoch in range(start_epoch, cfg.epochs):
             row = self.run_epoch(epoch, train_dev, test_dev, n_train, n_test, epsilon)
@@ -506,23 +523,27 @@ class Trainer:
                         best_params = jax.tree_util.tree_map(
                             jnp.array, self.params
                         )
+                        best_pending = True
                     else:
                         ckpt.save_torch_checkpoint(
                             model_path, self.export_params(), self.fusion_cfg
                         )
                 if recorder and rec:
                     recorder.best_record(rec)
+            # durability flush: a deferred best that has sat unwritten for
+            # defer_flush_epochs epochs goes to disk now, so preemption
+            # mid-run never loses more than one flush window of progress
+            if (
+                best_pending
+                and cfg.defer_flush_epochs
+                and (epoch + 1) % cfg.defer_flush_epochs == 0
+            ):
+                write_best(best_params)
+                best_pending = False
             if epoch_end_hook is not None:
                 epoch_end_hook(epoch)
 
-        if model_path and cfg.defer_best_checkpoint and best_record is not None:
-            live = self.params
-            self.params = best_params
-            try:
-                ckpt.save_torch_checkpoint(
-                    model_path, self.export_params(), self.fusion_cfg
-                )
-            finally:
-                self.params = live
+        if model_path and best_pending:
+            write_best(best_params)
 
         return {"history": history, "best": best_record, "f1_best": f1_best}

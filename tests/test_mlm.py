@@ -192,6 +192,58 @@ def test_train_on_compact_vocab_matches_full(tmp_path):
         np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-4)
 
 
+def test_train_on_prebuilt_vocab_matches_compact(tmp_path):
+    """train_on(vocab=...) with caller-remapped data (the MLM pipeline's
+    calling convention) reproduces compact_vocab=True exactly and keeps the
+    full-vocab checkpoint-export contract (ADVICE r2: without the vocab the
+    exported word table stayed compact and `predict` would gather OOB)."""
+    from eeg_multimodal_tpu.data.compact_vocab import (
+        build_compact_vocab as bcv, remap_pairing,
+    )
+    from eeg_multimodal_tpu.train.api import TrainAndTest
+    from test_trainer import TINY_BERT, tiny_dataset
+
+    bert_full = bert_mod.init(jax.random.PRNGKey(3), TINY_BERT)
+    train, test = tiny_dataset(12), tiny_dataset(8, seed=1)
+
+    job = TrainAndTest(
+        batch_size=4, learning_rate=1e-3, epochs=1,
+        data_root=str(tmp_path / "a"), compute_dtype="float32",
+        bert_params=bert_full, echo=False,
+    )
+    ref = job.train_on(
+        train, test, "t", "r/", "ti", "lapacian_dropout",
+        epsilon=1.0, bert_config=TINY_BERT, compact_vocab=True,
+    )
+
+    # caller does the remap itself, as pretrain_finetune_mlm does
+    cv = bcv([train.eeg_input, test.eeg_input], full_vocab=TINY_BERT.vocab_size)
+    bert_compact = dict(bert_full)
+    emb = dict(bert_compact["embeddings"])
+    emb["word"] = cv.compact_embeddings(emb["word"])
+    bert_compact["embeddings"] = emb
+    import dataclasses as dc
+
+    job2 = TrainAndTest(
+        batch_size=4, learning_rate=1e-3, epochs=1,
+        data_root=str(tmp_path / "b"), compute_dtype="float32",
+        bert_params=bert_compact, echo=False,
+    )
+    got = job2.train_on(
+        remap_pairing(train, cv), remap_pairing(test, cv), "t", "r/", "ti",
+        "lapacian_dropout", epsilon=1.0,
+        bert_config=dc.replace(TINY_BERT, vocab_size=cv.size), vocab=cv,
+    )
+    for a, b in zip(ref["history"], got["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+
+    with pytest.raises(ValueError, match="either"):
+        job2.train_on(
+            train, test, "t", "r/", "ti", "lapacian_dropout",
+            compact_vocab=True, vocab=cv,
+        )
+
+
 def test_trainer_export_params_expands_word_table():
     """With a compact vocab active, checkpoint export scatters the word table
     back to full-vocab rows (reference state-dict layout)."""

@@ -121,7 +121,7 @@ def test_recovery_against_reference_pickle():
     exact = sum(
         1 for t, ref in zip(texts, ids) if list(rec.encode(t)[0]) == ref
     )
-    assert exact >= 600  # 601 rows; >= 600 byte-exact
+    assert exact == len(texts) == 601  # every committed row byte-exact
     # digits anchor (bert-base-uncased): '2' == 1016, '-' == 1011
     assert rec.vocab.get("2") == 1016
     assert rec.vocab.get("-") == 1011

@@ -103,6 +103,8 @@ def main(argv=None):
     sp.add_argument("--epsilon", "-e", type=float, default=0.1)
     sp.add_argument("--bert_ckpt", default=None,
                     help="skip MLM; load encoder from this pickle")
+    sp.add_argument("--row_reg_weight", type=float, default=0.0,
+                    help="joint row-value-regression pretext weight")
 
     sp = sub.add_parser("predict")
     add_common(sp)
@@ -136,6 +138,7 @@ def main(argv=None):
             epsilon=args.epsilon, epochs=args.epochs,
             batch_size=args.batch_size, learning_rate=args.learning_rate,
             compute_dtype=args.dtype, bert_ckpt=args.bert_ckpt,
+            row_reg_weight=args.row_reg_weight,
         )
         best = result["best"]
         if best:

@@ -39,6 +39,15 @@ class MLMConfig:
     mask_prob: float = 0.15
     mask_token_frac: float = 0.8  # of selected: replaced by [MASK]
     random_token_frac: float = 0.1  # of selected: replaced by a random id
+    # Row-value-regression pretext weight (0 = MLM only). The serialized
+    # text IS the numeric sensor row (ref get_embedding.py:113-116), exactly
+    # as the rendered image is a deterministic function of the row — the
+    # pretext that lifted the image pairings (train/contrastive.py rendering
+    # inversion, ACCURACY.md item 9) re-derived for text: regress the
+    # standardized row values from the pooled output of the (corrupted)
+    # sequence, jointly with MLM, so [CLS] pooling is forced to carry the
+    # full channel content the fusion head consumes downstream.
+    row_reg_weight: float = 0.0
     batch_size: int = 64
     learning_rate: float = 1e-4
     warmup_steps: int = 200
@@ -59,11 +68,11 @@ class MLMConfig:
 
 
 # -- MLM head (HF BertOnlyMLMHead semantics: dense -> gelu -> LN -> tied decoder)
-def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32):
+def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32, n_values: int = 0):
     H = config.hidden_size
     std = config.initializer_range
-    k1, _ = jax.random.split(key)
-    return {
+    k1, k2 = jax.random.split(key)
+    head = {
         "transform": {
             "kernel": std * jax.random.normal(k1, (H, H), dtype),
             "bias": jnp.zeros((H,), dtype),
@@ -71,10 +80,19 @@ def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32):
         "ln": {"scale": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
         "decoder_bias": jnp.zeros((config.vocab_size,), dtype),
     }
+    if n_values:
+        # row-value-regression head off the pooled output (pretext only;
+        # dropped after pretraining like the MLM transform)
+        head["reg"] = {
+            "kernel": std * jax.random.normal(k2, (H, n_values), dtype),
+            "bias": jnp.zeros((n_values,), dtype),
+        }
+    return head
 
 
-def mlm_logits(bert_params, head, input_ids, attention_mask, config, dropout_key):
-    seq, _ = bert_mod.apply(
+def mlm_outputs(bert_params, head, input_ids, attention_mask, config, dropout_key):
+    """(vocab logits over the sequence, pooled output) in one encoder pass."""
+    seq, pooled = bert_mod.apply(
         bert_params, input_ids, attention_mask, config, dropout_key=dropout_key
     )
     h = jax.nn.gelu(linear(head["transform"], seq), approximate=False)
@@ -87,7 +105,13 @@ def mlm_logits(bert_params, head, input_ids, attention_mask, config, dropout_key
         )
         + head["decoder_bias"]
     )
-    return logits
+    return logits, pooled
+
+
+def mlm_logits(bert_params, head, input_ids, attention_mask, config, dropout_key):
+    return mlm_outputs(
+        bert_params, head, input_ids, attention_mask, config, dropout_key
+    )[0]
 
 
 def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int):
@@ -112,19 +136,28 @@ def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int)
 
 
 def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key,
-             train: bool = True):
+             train: bool = True, values=None, value_mask=None):
+    """MLM cross-entropy, plus cfg.row_reg_weight x masked MSE of the
+    standardized row values regressed from the pooled output when ``values``
+    (B, V) and ``value_mask`` (B, V) are given."""
     k_mask, k_drop = jax.random.split(key)
     corrupted, labels, selected = mask_tokens(
         k_mask, batch_ids, batch_mask, cfg, bert_cfg.vocab_size
     )
-    logits = mlm_logits(
+    logits, pooled = mlm_outputs(
         bert_params, head, corrupted, batch_mask, bert_cfg,
         k_drop if train else None,  # eval: no encoder dropout
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = selected.astype(jnp.float32)
-    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    if values is not None and cfg.row_reg_weight:
+        pred = linear(head["reg"], pooled).astype(jnp.float32)
+        vm = value_mask.astype(jnp.float32)
+        mse = (jnp.square(pred - values) * vm).sum() / jnp.maximum(vm.sum(), 1.0)
+        loss = loss + cfg.row_reg_weight * mse
+    return loss
 
 
 class MLMPretrainer:
@@ -136,6 +169,7 @@ class MLMPretrainer:
         cfg: MLMConfig = MLMConfig(),
         bert_params=None,
         dtype=jnp.float32,
+        n_values: int = 0,
     ):
         self.bert_cfg = bert_cfg
         self.cfg = cfg
@@ -144,7 +178,7 @@ class MLMPretrainer:
         self.bert_params = (
             bert_params if bert_params is not None else bert_mod.init(k_bert, bert_cfg, dtype)
         )
-        self.head = head_init(k_head, bert_cfg, dtype)
+        self.head = head_init(k_head, bert_cfg, dtype, n_values=n_values)
         warmup = min(cfg.warmup_steps, max(1, cfg.total_steps // 2))
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, warmup, cfg.total_steps
@@ -153,17 +187,19 @@ class MLMPretrainer:
         self.opt_state = self.opt.init({"bert": self.bert_params, "head": self.head})
         self._chunk = None
 
-    def _make_chunk(self, corpus_ids, corpus_mask):
+    def _make_chunk(self, corpus_ids, corpus_mask, corpus_vals=None,
+                    corpus_val_mask=None):
         cfg, bert_cfg, opt = self.cfg, self.bert_cfg, self.opt
         compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-        def loss_fn(params, b_ids, b_mask, key):
+        def loss_fn(params, b_ids, b_mask, b_vals, b_vmask, key):
             if compute_dtype != jnp.float32:
                 from ..utils.trees import tree_cast
 
                 params = tree_cast(params, compute_dtype)
             return mlm_loss(
-                params["bert"], params["head"], b_ids, b_mask, bert_cfg, cfg, key
+                params["bert"], params["head"], b_ids, b_mask, bert_cfg, cfg,
+                key, values=b_vals, value_mask=b_vmask,
             )
 
         @jax.jit
@@ -178,7 +214,13 @@ class MLMPretrainer:
                     k_batch, (cfg.batch_size,), 0, corpus_ids.shape[0]
                 )
                 b_ids, b_mask = corpus_ids[idx], corpus_mask[idx]
-                loss, g = jax.value_and_grad(loss_fn)(params, b_ids, b_mask, k_loss)
+                b_vals = corpus_vals[idx] if corpus_vals is not None else None
+                b_vmask = (
+                    corpus_val_mask[idx] if corpus_val_mask is not None else None
+                )
+                loss, g = jax.value_and_grad(loss_fn)(
+                    params, b_ids, b_mask, b_vals, b_vmask, k_loss
+                )
                 upd, opt_state = opt.update(g, opt_state, params)
                 params = optax.apply_updates(params, upd)
                 return (params, opt_state), loss
@@ -190,12 +232,21 @@ class MLMPretrainer:
 
         return run_chunk
 
-    def fit(self, corpus_ids: np.ndarray, corpus_mask: np.ndarray, echo: bool = True):
-        """Run cfg.total_steps MLM steps; returns (bert_params, history)."""
+    def fit(self, corpus_ids: np.ndarray, corpus_mask: np.ndarray, echo: bool = True,
+            corpus_vals: Optional[np.ndarray] = None,
+            corpus_val_mask: Optional[np.ndarray] = None):
+        """Run cfg.total_steps MLM steps; returns (bert_params, history).
+
+        ``corpus_vals``/``corpus_val_mask`` (N, V): standardized row values
+        + validity mask for the row-regression pretext (cfg.row_reg_weight)."""
         cfg = self.cfg
         ids_dev = jax.device_put(jnp.asarray(corpus_ids, jnp.int32))
         mask_dev = jax.device_put(jnp.asarray(corpus_mask, jnp.int32))
-        run_chunk = self._make_chunk(ids_dev, mask_dev)
+        vals_dev = vmask_dev = None
+        if corpus_vals is not None and cfg.row_reg_weight:
+            vals_dev = jax.device_put(jnp.asarray(corpus_vals, jnp.float32))
+            vmask_dev = jax.device_put(jnp.asarray(corpus_val_mask, jnp.float32))
+        run_chunk = self._make_chunk(ids_dev, mask_dev, vals_dev, vmask_dev)
         params = {"bert": self.bert_params, "head": self.head}
         key = jax.random.PRNGKey(cfg.seed + 1)
         history = []
@@ -257,6 +308,38 @@ def build_corpus(
     return ids[:, :max_len].astype(np.int32), mask[:, :max_len].astype(np.int32)
 
 
+def load_row_values(csv_path: str) -> np.ndarray:
+    """Numeric rows of a processed CSV (header skipped). The serialized text
+    the tokenizer sees is exactly these values space-joined
+    (ref get_embedding.py:113-114), so they are the text's ground truth."""
+    return np.loadtxt(csv_path, delimiter=",", skiprows=1, dtype=np.float64)
+
+
+def standardize_rows(values: np.ndarray):
+    """Per-column standardization over the given (train) rows; returns
+    (standardized f32, mean, std). Constant columns get std 1."""
+    mean = values.mean(axis=0)
+    std = values.std(axis=0)
+    std = np.where(std < 1e-12, 1.0, std)
+    return ((values - mean) / std).astype(np.float32), mean, std
+
+
+def build_value_targets(per_modal_values):
+    """Stack per-modality standardized value rows into one (N, Vmax) target
+    matrix + validity mask, concatenated in the same order the MLM corpus
+    stacks its modalities (EEG rows then act rows)."""
+    vmax = max(v.shape[1] for v in per_modal_values)
+    vals, masks = [], []
+    for v in per_modal_values:
+        std, _, _ = standardize_rows(v)
+        pad = vmax - std.shape[1]
+        vals.append(np.pad(std, ((0, 0), (0, pad))))
+        m = np.zeros((std.shape[0], vmax), np.float32)
+        m[:, : std.shape[1]] = 1.0
+        masks.append(m)
+    return np.concatenate(vals), np.concatenate(masks)
+
+
 def pretrain_finetune_mlm(
     data_root: str,
     out_root: str,
@@ -272,6 +355,7 @@ def pretrain_finetune_mlm(
     bert_ckpt: Optional[str] = None,
     bert_config: Optional[bert_mod.BertConfig] = None,
     echo: bool = True,
+    row_reg_weight: float = 0.0,
 ):
     """The weights-free accuracy-parity pipeline (ACCURACY.md §4-5):
     domain MLM pretraining on the train split's serialized sensor rows, then
@@ -304,13 +388,27 @@ def pretrain_finetune_mlm(
 
     emb_root = os.path.join(data_root, "data", "embedding")
     corpus_dicts = []
+    corpus_values = []  # per-modality numeric rows for the regression pretext
     for modal in ("EEG", "act"):  # both modalities' serialized texts
         path = os.path.join(
             emb_root, modal, "txt", "bert_bert_base_uncased", "train.pickle"
         )
         if os.path.exists(path):
             corpus_dicts.append(D.load_bert_pickle(path))
+            csv_path = os.path.join(
+                data_root, "data", "processed", f"train_{modal}.csv"
+            )
+            if row_reg_weight and os.path.exists(csv_path):
+                corpus_values.append(load_row_values(csv_path))
     corpus_ids, corpus_mask = build_corpus(corpus_dicts)
+    corpus_vals = corpus_vmask = None
+    n_values = 0
+    if row_reg_weight and len(corpus_values) == len(corpus_dicts):
+        corpus_vals, corpus_vmask = build_value_targets(corpus_values)
+        n_values = corpus_vals.shape[1]
+        assert corpus_vals.shape[0] == corpus_ids.shape[0], (
+            "value rows misaligned with token rows"
+        )
 
     # vocab over the MLM corpus AND both splits' token streams: on the
     # committed data test ids are a subset of train's, but a user tree may
@@ -337,9 +435,13 @@ def pretrain_finetune_mlm(
             batch_size=mlm_batch, learning_rate=mlm_lr, total_steps=mlm_steps,
             warmup_steps=max(50, mlm_steps // 20), mask_id=vocab.mask_id,
             cls_id=vocab.cls_id, sep_id=vocab.sep_id, pad_id=vocab.pad_id,
+            row_reg_weight=row_reg_weight,
         )
-        pre = MLMPretrainer(bert_cfg, cfg)
-        bert_params, history = pre.fit(corpus_ids, corpus_mask, echo=echo)
+        pre = MLMPretrainer(bert_cfg, cfg, n_values=n_values)
+        bert_params, history = pre.fit(
+            corpus_ids, corpus_mask, echo=echo,
+            corpus_vals=corpus_vals, corpus_val_mask=corpus_vmask,
+        )
         save_pytree(os.path.join(out_root, "bert_mlm.pickle"), bert_params)
         with open(os.path.join(out_root, "mlm_history.json"), "w") as f:
             json.dump(history, f)

@@ -38,6 +38,8 @@ p.add_argument("--bert_ckpt", default=None,
                help="skip MLM, load pretrained bert params from this pickle")
 p.add_argument("--path_suffix", default="DPMLD/")
 p.add_argument("--compute_dtype", default="bfloat16")
+p.add_argument("--row_reg_weight", type=float, default=0.0,
+               help="joint row-value-regression pretext weight (0 = MLM only)")
 args = p.parse_args()
 
 result = pretrain_finetune_mlm(
@@ -46,6 +48,7 @@ result = pretrain_finetune_mlm(
     epochs=args.epochs, batch_size=args.batch_size,
     learning_rate=args.learning_rate, compute_dtype=args.compute_dtype,
     path_suffix=args.path_suffix, bert_ckpt=args.bert_ckpt,
+    row_reg_weight=args.row_reg_weight,
 )
 best = result["best"]
 print(

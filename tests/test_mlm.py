@@ -192,6 +192,60 @@ def test_train_on_compact_vocab_matches_full(tmp_path):
         np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=1e-4)
 
 
+def test_row_regression_pretext():
+    """row_reg_weight adds a masked-MSE term off the pooled output: loss
+    increases by exactly weight*mse, gradient reaches the reg head, and
+    weight=0 reproduces the MLM-only loss bitwise."""
+    from eeg_multimodal_tpu.train import mlm
+
+    tiny = bert_mod.BertConfig(
+        vocab_size=64, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position_embeddings=12,
+    )
+    cfg0 = mlm.MLMConfig(mask_id=3, cls_id=1, sep_id=2, pad_id=0)
+    cfg1 = mlm.MLMConfig(mask_id=3, cls_id=1, sep_id=2, pad_id=0,
+                         row_reg_weight=0.5)
+    bert = bert_mod.init(jax.random.PRNGKey(0), tiny)
+    head = mlm.head_init(jax.random.PRNGKey(1), tiny, n_values=5)
+    ids = jnp.asarray(np.random.RandomState(0).randint(4, 64, (3, 12)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    vals = jnp.asarray(np.random.RandomState(1).randn(3, 5), jnp.float32)
+    vmask = jnp.asarray([[1, 1, 1, 0, 0]] * 3, jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    base = float(mlm.mlm_loss(bert, head, ids, mask, tiny, cfg0, key,
+                              train=False, values=vals, value_mask=vmask))
+    plain = float(mlm.mlm_loss(bert, head, ids, mask, tiny, cfg0, key,
+                               train=False))
+    assert base == plain  # weight 0: values ignored
+
+    joint = float(mlm.mlm_loss(bert, head, ids, mask, tiny, cfg1, key,
+                               train=False, values=vals, value_mask=vmask))
+    assert joint > plain  # mse is positive at random init
+
+    g = jax.grad(
+        lambda h: mlm.mlm_loss(bert, h, ids, mask, tiny, cfg1, key,
+                               train=False, values=vals, value_mask=vmask)
+    )(head)
+    assert float(jnp.abs(g["reg"]["kernel"]).sum()) > 0
+    # masked-out columns receive no gradient
+    assert float(jnp.abs(g["reg"]["kernel"][:, 3:]).sum()) == 0.0
+
+
+def test_build_value_targets_stacks_modalities():
+    from eeg_multimodal_tpu.train import mlm
+
+    eeg = np.random.RandomState(0).randn(4, 6) * 7 + 3
+    act = np.random.RandomState(1).randn(3, 4) * 2
+    vals, mask = mlm.build_value_targets([eeg, act])
+    assert vals.shape == (7, 6) and mask.shape == (7, 6)
+    assert mask[:4].sum() == 4 * 6 and mask[4:, :4].sum() == 3 * 4
+    assert mask[4:, 4:].sum() == 0
+    # standardized per modality per column
+    np.testing.assert_allclose(vals[:4].mean(axis=0), 0, atol=1e-5)
+    np.testing.assert_allclose(vals[:4].std(axis=0), 1, atol=1e-4)
+
+
 def test_train_on_prebuilt_vocab_matches_compact(tmp_path):
     """train_on(vocab=...) with caller-remapped data (the MLM pipeline's
     calling convention) reproduces compact_vocab=True exactly and keeps the

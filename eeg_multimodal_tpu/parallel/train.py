@@ -33,6 +33,21 @@ def shard_trainer(trainer: Trainer, mesh: Optional[jax.sharding.Mesh] = None):
     return mesh
 
 
+def shard_dpsgd_trainer(trainer, mesh: Optional[jax.sharding.Mesh] = None):
+    """Shard a DPSGDTrainer's params over the mesh (in place); returns the
+    mesh. The per-example ``vmap(grad)`` inside the DP-SGD step then runs
+    under GSPMD: the vmapped batch axis shards on 'data', the Megatron
+    param splits on 'model', and the per-example clip norms reduce over the
+    model axis via XLA-inserted all-reduces. Optimizer state is created
+    inside ``fit`` from the sharded trainable subtree (zeros_like preserves
+    shardings), so no re-init is needed here."""
+    if mesh is None:
+        mesh = mesh_mod.make_mesh()
+    trainer.params = shard_mod.shard_params(mesh, trainer.params)
+    trainer.mesh = mesh
+    return mesh
+
+
 def shard_data(mesh: jax.sharding.Mesh, arrays):
     """Device-put a MultiModalArrays (or dict of arrays) with the leading
     dim on the data axis."""

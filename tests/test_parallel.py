@@ -64,6 +64,42 @@ def test_sharded_trainer_epoch_runs_and_matches_unsharded():
 
 
 @pytest.mark.slow
+def test_dpsgd_under_mesh_matches_unsharded():
+    """Per-example vmap(grad) composes with GSPMD: the DP-SGD trainer run
+    with Megatron-sharded params on the 2x4 mesh reproduces the unsharded
+    run (same Poisson draws, same noise keys — layout must not change the
+    math)."""
+    from eeg_multimodal_tpu.dp.dpsgd import DPSGDConfig
+    from eeg_multimodal_tpu.parallel.train import shard_dpsgd_trainer
+    from eeg_multimodal_tpu.train.dpsgd_trainer import DPSGDTrainer
+
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "DPSGD"), bert_config=TINY_BERT
+    )
+    dc = DPSGDConfig(target_epsilon=2.0, epochs=1, batch_size=4)
+    train, test = tiny_dataset(12), tiny_dataset(8, seed=1)
+
+    tr_ref = DPSGDTrainer(fc, dc)
+    out_ref = tr_ref.fit(train, test, echo=False)
+
+    tr_sh = DPSGDTrainer(fc, dc)
+    mesh = shard_dpsgd_trainer(tr_sh)
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    out_sh = tr_sh.fit(train, test, echo=False)
+
+    a, b = out_ref["history"][0], out_sh["history"][0]
+    np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(a["test_loss"], b["test_loss"], rtol=2e-4)
+    assert a["test_acc"] == pytest.approx(b["test_acc"], abs=1e-6)
+    assert out_ref["sigma"] == out_sh["sigma"]
+
+    # trainable params really are distributed (last BERT layer is in the
+    # private subtree and carries the Megatron split)
+    qk = tr_sh.params["bert"]["layers"][-1]["attn"]["query"]["kernel"]
+    assert len(qk.sharding.device_set) > 1
+
+
+@pytest.mark.slow
 def test_sweep_under_mesh_matches_unsharded():
     """Composing the vmapped sweep with the device mesh (members placed along
     the data axis) must be a pure layout change: per-member histories equal

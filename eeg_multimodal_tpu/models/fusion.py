@@ -61,17 +61,18 @@ class FusionConfig:
     # one VMEM pass for minmax + eps_hat + in-kernel Laplace sampling.
     # Mathematically equal to the composed ops (the Gumbel stage is an
     # identity; tests/test_dp_pallas.py pins value/grad equality and the
-    # Laplace-stream quantiles), and validated standalone on the chip —
-    # including fwd+bwd inside a 301-step lax.scan. It stays OFF in the
-    # trainer hot path for two measured reasons (2026-08, v5e via the axon
-    # remote-compile tunnel): (a) embedding BOTH alternating phases' kernel
-    # instances in the one epoch program produces NaN params within 50
-    # steps on real data (f32 or bf16, donation on or off, threefry or rbg)
-    # while the identical math un-scanned or single-instance is finite — a
-    # toolchain-level miscompile, not a math bug; (b) at the flagship
-    # (8, 2304) shape the op is bandwidth-trivial, so the fusion win is nil.
-    # The kernel remains the package's template for fused elementwise+PRNG
-    # ops and is exercised directly by tests/test_dp_pallas.py.
+    # Laplace-stream quantiles). Round 2 reported a "scanned dual-instance
+    # NaN miscompile"; round 3 root-caused it as a kernel PRNG edge case —
+    # a 2^-24-per-element zero draw sent the Laplace inverse CDF to
+    # log1p(-1) = -inf (tools/repro_fused_dp_scan_nan.py pins the
+    # deterministic repro and dp_pallas._laplace_from_bits documents the
+    # fix). The kernel is now validated over full 50-epoch flagship runs
+    # on the chip (examples/train_demo.py --fused_dp, finite and
+    # accuracy-comparable). Default remains OFF for reproducibility of the
+    # committed accuracy logs (the in-kernel PRNG is a different noise
+    # stream than the faithful threefry path) and because at the flagship
+    # (8, 2304) shape the op is bandwidth-trivial — measured steady-state
+    # epoch time is identical either way.
     fused_dp_kernel: Optional[bool] = None
 
     @property

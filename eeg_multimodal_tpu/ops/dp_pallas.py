@@ -33,13 +33,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _laplace_from_bits(shape):
     """Laplace(0,1) via inverse CDF of U(-0.5, 0.5):
-    x = -sign(u) * ln(1 - 2|u|)."""
+    x = -sign(u) * ln(1 - 2|u|).
+
+    The +0.5 half-ulp offset keeps u01 strictly inside (0, 1): a raw 24-bit
+    draw of exactly 0 would give u = -0.5 and log1p(-1) = -inf (f32 rounds
+    -1 + 1e-12 back to -1, so an additive epsilon does NOT guard this).
+    That 2^-24-per-element event is what produced the "scanned dual-kernel
+    NaN" misdiagnosed as a miscompile in round 2: at (8, 2304) per step it
+    fires with p ~ 1.1e-3/instance-step, i.e. reliably within a few hundred
+    train steps but almost never in short tests
+    (tools/repro_fused_dp_scan_nan.py pins the deterministic repro at step
+    363 and the fix). 23 bits, not 24: k + 0.5 must be exactly
+    representable in f32, which needs k < 2^23 — with 24-bit draws the top
+    value rounds to 1.0 and reintroduces the inf at u = +0.5 (observed:
+    repro moved from step 363 to step 451). With the offset,
+    |u| <= 0.5 - 2^-24 bounds the noise magnitude at ln(2^-23) ~ 15.9 — a
+    negligible tail truncation."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # top 24 bits -> U[0,1) with exact f32 representation; Mosaic has no
+    # top 23 bits -> U(0,1) with exact f32 representation; Mosaic has no
     # uint32->f32 cast, so bitcast to int32 first (sign bit is clear)
-    u01 = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    u01 = (
+        pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32) + 0.5
+    ) * (1.0 / (1 << 23))
     u = u01 - 0.5
-    mag = jnp.log1p(-2.0 * jnp.abs(u) + 1e-12)
+    mag = jnp.log1p(-2.0 * jnp.abs(u))
     return -jnp.sign(u) * mag
 
 

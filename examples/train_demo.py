@@ -22,6 +22,8 @@ p.add_argument("--n", type=int, default=256, help="train subset size")
 p.add_argument("--dtype", default="bfloat16")
 p.add_argument("--epsilon", type=float, default=0.1)
 p.add_argument("--log", default="/tmp/dpmld_demo")
+p.add_argument("--fused_dp", action="store_true",
+               help="route the DP block through the fused Pallas kernel")
 args = p.parse_args()
 
 import jax
@@ -44,6 +46,9 @@ te = D.build_pairing("ti", labels[n:n2], eeg_txt={k: v[n:n2] for k, v in tok.ite
 
 tr, te = D.truncate_pair(tr, te)  # exact padding removal (512 -> 128 tokens)
 fc = fusion.config_for("ti", "lapacian_dropout")
+if args.fused_dp:
+    import dataclasses
+    fc = dataclasses.replace(fc, fused_dp_kernel=True)
 tc = TrainConfig(epochs=args.epochs, compute_dtype=args.dtype)
 trainer = Trainer(fc, tc)
 t0 = time.time()

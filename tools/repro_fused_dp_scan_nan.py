@@ -39,19 +39,22 @@ from eeg_multimodal_tpu.ops import dp_pallas
 from eeg_multimodal_tpu.ops import dp as dp_ops
 
 B, F = 8, 2304
-STEPS = 120
+STEPS = int(os.environ.get("REPRO_STEPS", "120"))
+LR = float(os.environ.get("REPRO_LR", "1e-2"))
 EPS = 0.1
 
 
 def make_step(n_instances: int, barrier: bool, jax_noise: bool):
-    opt = optax.adam(1e-2)
+    opt = optax.adam(LR)
 
     def dp_block(feature_raw, DP, seed_or_key):
         if jax_noise:
             # the production un-fused path (ops/dp.py): same math, noise
             # from the threefry PRNG outside any Pallas kernel
             feature = dp_ops.minmax_normalize(feature_raw)
-            return dp_ops.lap_dropout_fast(feature, DP, EPS, seed_or_key)
+            return dp_ops.lap_dropout_fast(
+                feature, DP, EPS, seed_or_key, hard=True
+            )
         return dp_pallas.fused_lap_dropout(
             feature_raw, DP, jnp.asarray(EPS, jnp.float32), seed_or_key
         )

@@ -141,6 +141,32 @@ def plot_privacy_utility(eps_to_rows: Dict[float, List[Dict]], out_path: str):
     return out_path
 
 
+def plot_privacy_utility_seeds(eps, mean_acc, std_acc, out_path: str,
+                               reference: Dict[float, float] = None):
+    """Privacy-utility frontier with mean±std error bands across seeds —
+    the reference's mean±std figure style (ref plot.py:22-81) applied to
+    the BASELINE.json eps x seeds grid."""
+    eps = np.asarray(eps)
+    mean_acc = np.asarray(mean_acc)
+    std_acc = np.asarray(std_acc)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(eps, mean_acc, marker="o", label="DP-MLD (mean over seeds)")
+    ax.fill_between(eps, mean_acc - std_acc, mean_acc + std_acc, alpha=0.25,
+                    label=r"$\pm$1 std")
+    if reference:
+        re = sorted(reference)
+        ax.semilogx(re, [reference[e] for e in re], marker="s", linestyle="--",
+                    color="gray", label="reference (single seed)")
+    ax.set_xlabel(r"privacy budget $\epsilon$")
+    ax.set_ylabel("best test accuracy")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_scheme_comparison(scheme_to_rows: Dict[str, List[Dict]], out_path: str):
     """DP-scheme comparison bars (ref plot.py:339-401)."""
     names = list(scheme_to_rows)

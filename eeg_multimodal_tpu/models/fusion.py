@@ -57,6 +57,11 @@ class FusionConfig:
     # Optional BertConfig override (must keep hidden_size=768); used for
     # small-model tests and from-scratch encoders.
     bert_config: Optional["bert_mod.BertConfig"] = None
+    # Legacy 'new_<eps>eps' generation: use the PRE-fix noise scale
+    # log((e^eps - w)/(1 - w)) (model.py:57, no reciprocal) instead of the
+    # '# fix' form 1/log(...) (past_acc.py:132). Noise grows with eps,
+    # reproducing the model_dict/new_*eps family's falling accuracies.
+    prefix_eps_hat: bool = False
     # Route the DP block through the fused Pallas kernel (ops/dp_pallas.py):
     # one VMEM pass for minmax + eps_hat + in-kernel Laplace sampling.
     # Mathematically equal to the composed ops (the Gumbel stage is an
@@ -296,7 +301,10 @@ def apply_head(
                 jnp.asarray(epsilon, jnp.float32), seed,
             )
         else:
-            feature = dp_ops.lap_dropout(feature, params["DP"], epsilon, k_dp, hard)
+            feature = dp_ops.lap_dropout(
+                feature, params["DP"], epsilon, k_dp, hard,
+                prefix_eps_hat=config.prefix_eps_hat,
+            )
     elif mode == "lapacian_dropout_equal_weight":
         # ref models.py:399-405; one implementation, train-gated nn.Dropout
         feature = dp_ops.equal_weight_dp(

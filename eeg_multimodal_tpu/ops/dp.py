@@ -42,6 +42,19 @@ def eps_hat(w, epsilon):
     return 1.0 / jnp.log((e - w) / (1.0 - w))
 
 
+def eps_hat_prefix(w, epsilon):
+    """The PRE-fix noise scale: log((e^eps - w) / (1 - w)) — no reciprocal.
+
+    ref: model.py:57 (commented-out legacy ConcatModel DP path). This is the
+    formula behind the ``model_dict/new_<eps>eps`` generation: noise GROWS
+    with eps (log term ~ eps for large eps), which is why those recorded
+    accuracies fall 0.987 -> 0.806 as eps goes 0.1 -> 10 while the
+    post-fix ``newfrac_*`` runs saturate near 0.987. past_acc.py:132 adds
+    the reciprocal with a '# fix' comment and renames the output dirs."""
+    e = jnp.exp(jnp.asarray(epsilon, jnp.float32))
+    return jnp.log((e - w) / (1.0 - w))
+
+
 def gumbel_softmax(logits, key, tau: float = 1.0, hard: bool = False, axis: int = -1):
     """torch ``F.gumbel_softmax`` semantics, with explicit PRNG key.
 
@@ -60,7 +73,8 @@ def gumbel_softmax(logits, key, tau: float = 1.0, hard: bool = False, axis: int 
     return y_hard + (y_soft - jax.lax.stop_gradient(y_soft))
 
 
-def lap_dropout(feature, dp_param, epsilon, key, hard: bool):
+def lap_dropout(feature, dp_param, epsilon, key, hard: bool,
+                prefix_eps_hat: bool = False):
     """The flagship DP block (ref: models.py:73-79), verbatim semantics.
 
     feature  : (B, F) min-max-normalized fused features
@@ -83,14 +97,16 @@ def lap_dropout(feature, dp_param, epsilon, key, hard: bool):
     k_lap, k_gum = jax.random.split(key)
     w = jax.nn.sigmoid(dp_param)  # (1, F)
     noise = laplace_noise(k_lap, feature.shape, dtype=feature.dtype)
-    feature = feature + noise * eps_hat(w, epsilon).astype(feature.dtype)
+    scale_fn = eps_hat_prefix if prefix_eps_hat else eps_hat
+    feature = feature + noise * scale_fn(w, epsilon).astype(feature.dtype)
     logits = jnp.stack((w, 1.0 - w))  # (2, 1, F)
     logits = jnp.broadcast_to(logits, (2, feature.shape[0], feature.shape[1]))
     mask = gumbel_softmax(logits, k_gum, tau=1.0, hard=hard, axis=0)
     return (feature[None] * mask).sum(axis=0)
 
 
-def lap_dropout_fast(feature, dp_param, epsilon, key, hard: bool):
+def lap_dropout_fast(feature, dp_param, epsilon, key, hard: bool,
+                     prefix_eps_hat: bool = False):
     """Mathematically identical fast path of :func:`lap_dropout`.
 
     Uses the mask-sum identity (see docstring above): skips the Gumbel draw
@@ -101,7 +117,8 @@ def lap_dropout_fast(feature, dp_param, epsilon, key, hard: bool):
     k_lap, _ = jax.random.split(key)  # same key stream as the faithful path
     w = jax.nn.sigmoid(dp_param)
     noise = laplace_noise(k_lap, feature.shape, dtype=feature.dtype)
-    return feature + noise * eps_hat(w, epsilon).astype(feature.dtype)
+    scale_fn = eps_hat_prefix if prefix_eps_hat else eps_hat
+    return feature + noise * scale_fn(w, epsilon).astype(feature.dtype)
 
 
 def equal_weight_dp(feature, epsilon, dropout_rate, key, train: bool):

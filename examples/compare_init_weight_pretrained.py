@@ -40,6 +40,11 @@ p.add_argument("--data_root", default="/tmp/user_tree")
 p.add_argument("--out", default="/tmp/init_grid")
 p.add_argument("--epochs", type=int, default=50)
 p.add_argument("--cased_mlm_steps", type=int, default=4000)
+p.add_argument("--row_reg_weight", type=float, default=0.0,
+               help="joint row-value-regression pretext for the cased "
+                    "encoder (vocab-independent — lifts the synthetic-vocab "
+                    "cells; the uncased cells inherit whatever pretext the "
+                    "--run_dir encoder was trained with)")
 args = p.parse_args()
 
 os.makedirs(args.out, exist_ok=True)
@@ -85,14 +90,26 @@ else:
     )
     print(f"[cased] compact size {vocab.size}", flush=True)
     ids = vocab.remap(ids)
+    vals = vmask = None
+    n_values = 0
+    if args.row_reg_weight:
+        per_modal = [
+            mlm.load_row_values(os.path.join(
+                args.data_root, "data", "processed", f"train_{modal}.csv"
+            ))
+            for modal in ("EEG", "act")
+        ]
+        vals, vmask = mlm.build_value_targets(per_modal)
+        n_values = vals.shape[1]
     cfg = mlm.MLMConfig(
         batch_size=128, total_steps=args.cased_mlm_steps,
         warmup_steps=max(50, args.cased_mlm_steps // 20),
         mask_id=vocab.mask_id, cls_id=vocab.cls_id, sep_id=vocab.sep_id,
-        pad_id=vocab.pad_id,
+        pad_id=vocab.pad_id, row_reg_weight=args.row_reg_weight,
     )
-    pre = mlm.MLMPretrainer(bert_mod.BertConfig(vocab_size=vocab.size), cfg)
-    params, _ = pre.fit(ids, mask)
+    pre = mlm.MLMPretrainer(bert_mod.BertConfig(vocab_size=vocab.size), cfg,
+                            n_values=n_values)
+    params, _ = pre.fit(ids, mask, corpus_vals=vals, corpus_val_mask=vmask)
     encoders["bert-base-cased"] = expanded_encoder(params, vocab)
     save_pytree(cased_ckpt, encoders["bert-base-cased"])
 

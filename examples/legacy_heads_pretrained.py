@@ -9,7 +9,8 @@ every named head (all on pretrained HF BERT + CLIP embeddings):
   newfrac_1.0eps              0.987           @ep48  model_dict/newfrac_1.0eps/best_record.txt
   newfrac_1.0eps_newinit_k1   0.988 / F1 0.992 @ep49  model_dict/newfrac_1.0eps_newinit_k1/best_record.txt
   newfrac_1.0eps_feawei       0.987 / F1 0.990 @ep45  model_dict/newfrac_1.0eps_feawei/best_record.txt
-  new_{0.1,1,3,5,10}eps       0.987/0.987/0.980/0.939/0.806
+  new_{0.1,1,3,5,10}eps       0.987/0.987/0.980/0.939/0.806 (pre-fix eps_hat)
+  newfrac_{0.1,1,5,8,10}eps   0.956/0.987/0.987/0.985/0.987
 
 This driver reproduces the whole family from the weights-free MLM encoder
 (examples/pretrain_finetune.py run dir), writing records in the reference's
@@ -25,10 +26,15 @@ Head provenance (all ti pairing, batch 8, lr 1e-6, 50 epochs, seed 980616):
   newfrac_*    — past_acc.py main2: alternating optimizers at eps=1.0 with the
                  DP-init grid (zeros / modality constants / feawei k=1,3,5;
                  past_acc.py:94-103, past_acc_feawei.py)
-  new_*eps     — the same zeros-init head over the eps grid, run here as ONE
-                 vmapped sweep instead of five sequential trainings
+  new_*eps     — zeros-init head over the eps grid with the PRE-fix noise
+                 scale log((e^eps-w)/(1-w)) (model.py:57; noise grows with
+                 eps — the recorded accs fall monotonically);
+  newfrac_*eps — the same grid with the '# fix' reciprocal form
+                 (past_acc.py:132). Each grid runs as ONE vmapped sweep
+                 instead of five sequential trainings
 """
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -162,21 +168,32 @@ if "newfrac" in which:
         run_head(name, lap, epsilon=1.0, dp_init=dp0)
 
 if "eps_grid" in which:
-    # new_{0.1,1,3,5,10}eps: one vmapped sweep over the eps grid
-    members = [
-        SweepMember(e, label=f"new_{e}eps")
-        for e in (0.1, 1.0, 3.0, 5.0, 10.0)
+    # Two legacy eps-grid generations, each as ONE vmapped sweep:
+    #   new_{0.1,1,3,5,10}eps    — PRE-fix noise scale log((e^eps-w)/(1-w))
+    #                              (model.py:57): noise grows with eps, the
+    #                              recorded accs FALL 0.987 -> 0.806;
+    #   newfrac_{0.1,1,5,8,10}eps — the '# fix' reciprocal (past_acc.py:132):
+    #                              accs saturate 0.956 -> ~0.987.
+    grids = [
+        ("new", dict(prefix_eps_hat=True), (0.1, 1.0, 3.0, 5.0, 10.0)),
+        ("newfrac", {}, (0.1, 1.0, 5.0, 8.0, 10.0)),
     ]
-    runner = SweepRunner(
-        fusion.config_for("ti", "lapacian_dropout"),
-        TrainConfig(epochs=args.epochs, compute_dtype=args.dtype),
-        members, bert_params=bert,
-    )
-    out = runner.run(train, test, log_root=args.out, echo=False)
-    for r in out:
-        b = r["best"] or {"epoch": -1, "test_acc": 0.0}
-        print(f"[legacy] {r['member']['label']}: best acc "
-              f"{b['test_acc']:.3f} f1 {r['f1_best']:.3f} @ep{b['epoch']}",
-              flush=True)
+    for prefix, overrides, eps_list in grids:
+        cfg = dataclasses.replace(
+            fusion.config_for("ti", "lapacian_dropout"), **overrides
+        )
+        members = [
+            SweepMember(e, label=f"{prefix}_{e}eps") for e in eps_list
+        ]
+        runner = SweepRunner(
+            cfg, TrainConfig(epochs=args.epochs, compute_dtype=args.dtype),
+            members, bert_params=bert,
+        )
+        out = runner.run(train, test, log_root=args.out, echo=False)
+        for r in out:
+            b = r["best"] or {"epoch": -1, "test_acc": 0.0}
+            print(f"[legacy] {r['member']['label']}: best acc "
+                  f"{b['test_acc']:.3f} f1 {r['f1_best']:.3f} @ep{b['epoch']}",
+                  flush=True)
 
 print("[legacy] done", flush=True)

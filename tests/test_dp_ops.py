@@ -172,3 +172,36 @@ def test_privacy_regularized_loss():
     out = float(dp.privacy_regularized_loss(1.0, w, alpha=2.0, epsilon=0.0))
     # (1-w)e^0 + w = 1 everywhere => max = 1; total = 2*1 + 1
     assert abs(out - 3.0) < 1e-6
+
+
+def test_eps_hat_prefix_is_pre_fix_form():
+    """model.py:57's commented legacy form: log((e^eps - w)/(1-w)), the
+    reciprocal of the '# fix' formula — noise GROWS with eps (the
+    model_dict/new_*eps generation's falling-accuracy signature)."""
+    w = jnp.asarray([0.2, 0.5, 0.8])
+    for eps in (0.1, 1.0, 10.0):
+        np.testing.assert_allclose(
+            np.asarray(dp.eps_hat_prefix(w, eps)),
+            1.0 / np.asarray(dp.eps_hat(w, eps)),
+            rtol=1e-6,
+        )
+    # monotone: more budget -> MORE noise under the pre-fix form
+    small = float(dp.eps_hat_prefix(jnp.asarray([0.5]), 0.1)[0])
+    large = float(dp.eps_hat_prefix(jnp.asarray([0.5]), 10.0)[0])
+    assert large > small > 0
+
+
+def test_lap_dropout_prefix_routing():
+    """prefix_eps_hat=True swaps only the noise scale (same key stream)."""
+    key = jax.random.PRNGKey(11)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 16).astype(np.float32))
+    dp_param = jnp.zeros((1, 16))
+    a = np.asarray(dp.lap_dropout(x, dp_param, 5.0, key, hard=True))
+    b = np.asarray(dp.lap_dropout(x, dp_param, 5.0, key, hard=True,
+                                  prefix_eps_hat=True))
+    # identical noise draw, scales differ by eps_hat^2 ratio
+    w = 0.5
+    ratio = float(np.log((np.exp(5.0) - w) / (1 - w))) ** 2
+    np.testing.assert_allclose(
+        (b - np.asarray(x)), (a - np.asarray(x)) * ratio, rtol=1e-4
+    )

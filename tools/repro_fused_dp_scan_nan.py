@@ -1,29 +1,39 @@
-"""Minimal repro: fused-DP Pallas kernel NaNs when TWO instances are embedded
-in one scanned train step (VERDICT r2 item 5; models/fusion.py:60-75).
+"""Deterministic repro for the fused-DP kernel NaN (VERDICT r2 item 5) —
+RESOLVED in round 3: a PRNG edge case, NOT a scan/dual-instance miscompile.
 
-Observed on v5e via the axon remote-compile tunnel (2026-08): the flagship
-trainer embeds the fused kernel once per alternating phase — two
-`pallas_call` instances inside the `lax.scan` body — and params go NaN
-within ~50 steps, while the identical math runs clean un-scanned or with a
-single instance. This script strips the trainer to the smallest program
-with the same structure:
+Root cause: the in-kernel Laplace inverse CDF mapped a 24-bit draw of
+exactly 0 to u = -0.5, where f32 rounds -1 + 1e-12 back to -1 and
+log1p(-1) = -inf. Per (8, 2304) kernel instance that fires with
+p ~ 1.1e-3/step — reliably within a few hundred train steps, almost never
+in short tests. Round 2's runs were short enough that "single instance /
+un-scanned" appeared clean, producing the miscompile misdiagnosis. With
+STEPS=1200 this script pinned dual-scan AND single-scan failing at the
+SAME step (363 — same noise stream), killing the structural theory.
 
-  per step:  phase 1  g_DP    = grad of loss(fused_lap_dropout(f, DP, s1))
-             phase 2  g_model = grad of loss(fused_lap_dropout(f, DP, s2))
-             two Adam updates, all inside one lax.scan over steps.
+A first fix (+0.5 half-ulp on 24-bit draws) moved the inf to the other
+end: k + 0.5 is not representable in f32 for k >= 2^23, so the top draw
+rounds to u01 = 1.0 and log1p(-1) returns at u = +0.5 (observed: failure
+moved to step 451). The landed fix draws 23 bits, where k + 0.5 is always
+exact: see ops/dp_pallas.py::_laplace_from_bits.
 
-Variants (run: python tools/repro_fused_dp_scan_nan.py [variant ...]):
-  dual-scan        the failing shape: two kernel instances, scanned
-  single-scan      one kernel instance, scanned          (expected finite)
-  dual-python      two instances, python loop (no scan)  (expected finite)
+Post-fix, ALL variants PASS at REPRO_STEPS=2400 on the chip, and the
+kernel survives full 50-epoch flagship trainings
+(examples/train_demo.py --fused_dp).
+
+Variants (run: python tools/repro_fused_dp_scan_nan.py [variant ...];
+env: REPRO_STEPS=1200 REPRO_LR=1e-2):
+  dual-scan          two kernel instances per step, scanned (the trainer's
+                     alternating-phase shape)
+  single-scan        one instance, scanned
+  dual-python        two instances, python loop (no scan)
   dual-scan-barrier  dual-scan + lax.optimization_barrier between phases
-  dual-scan-jaxnoise two instances, scanned, but noise from jax.random
-                     (the ops/dp.py path) instead of the in-kernel PRNG —
-                     isolates the kernel/PRNG from the scan structure
+  dual-scan-jaxnoise noise from jax.random (ops/dp.py path) instead of the
+                     in-kernel PRNG — isolates the kernel PRNG
 
-Exit code 0 and a PASS/FAIL table; FAIL = non-finite params. On CPU the
-kernel runs in interpret mode and every variant passes (the miscompile is
-toolchain-specific), so the interesting run is on the TPU.
+Prints a PASS/FAIL table; FAIL = non-finite params, with the first
+non-finite step (deterministic per stream). On CPU the kernel runs in
+interpret mode via jax.random (the TPU PRNG has no CPU lowering), so the
+interesting run is on the chip.
 """
 import os
 import sys

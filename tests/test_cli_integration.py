@@ -117,6 +117,42 @@ def test_pretrain_finetune_pipeline(data_tree):
     assert np.isfinite(result2["history"][0]["train_loss"])
 
 
+@pytest.mark.slow
+def test_pretrain_pipeline_row_regression(data_tree):
+    """row_reg_weight wires the numeric-row targets through the pipeline:
+    with the processed train CSV present the joint pretext trains; without
+    it the pipeline degrades gracefully to MLM-only."""
+    from test_trainer import TINY_BERT
+
+    from eeg_multimodal_tpu.train.mlm import pretrain_finetune_mlm
+
+    rng = np.random.RandomState(3)
+    # processed numeric rows aligned with the EEG txt pickle (10 train rows)
+    with open(data_tree / "data" / "processed" / "train_EEG.csv", "w") as f:
+        f.write(",".join(f"c{i}" for i in range(5)) + "\n")
+        for _ in range(10):
+            f.write(",".join(str(v) for v in rng.randint(-50, 50, 5)) + "\n")
+
+    out = data_tree / "run_reg"
+    result = pretrain_finetune_mlm(
+        str(data_tree), str(out), mlm_steps=4, mlm_batch=4, epochs=1,
+        batch_size=4, learning_rate=1e-3, compute_dtype="float32",
+        bert_config=TINY_BERT, echo=False, row_reg_weight=1.0,
+    )
+    assert np.isfinite(result["history"][0]["train_loss"])
+    assert (out / "logs" / "demo" / "DPMLD" / "whole_record.txt").exists()
+
+    # no CSV -> graceful MLM-only (act modality has no txt pickle either)
+    os.remove(data_tree / "data" / "processed" / "train_EEG.csv")
+    out2 = data_tree / "run_reg_nocsv"
+    result2 = pretrain_finetune_mlm(
+        str(data_tree), str(out2), mlm_steps=4, mlm_batch=4, epochs=1,
+        batch_size=4, learning_rate=1e-3, compute_dtype="float32",
+        bert_config=TINY_BERT, echo=False, row_reg_weight=1.0,
+    )
+    assert np.isfinite(result2["history"][0]["train_loss"])
+
+
 def test_cli_predict_roundtrip(data_tree, monkeypatch):
     """Train via train_on (writing a best-F1 checkpoint), then `cli predict`
     evaluates it and writes a per-sample predictions CSV."""

@@ -18,6 +18,7 @@ import pickle
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import MultiModalArrays, epoch_indices, gather_batch
@@ -75,6 +76,9 @@ def extract_feawei(
     """Extract the normalized fused features over a split
     (past_acc_feawei.py:131-148). Deterministic (eval-mode trunk)."""
     data = train_data.device_put()
+    # params may carry host numpy leaves (pickle-loaded / vocab-expanded
+    # trees); numpy arrays cannot be indexed by tracers under jit
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     idx, w = epoch_indices(set_seed(), len(train_data), batch_size, shuffle=False)
 
     @jax.jit

@@ -146,8 +146,10 @@ def init(key, config: FusionConfig, bert_params=None):
     ks = jax.random.split(key, 8)
     params = {}
     if config.uses_bert:
+        # Injected trees may be host numpy (pickle loads, vocab expansion);
+        # convert so downstream jits never index a numpy leaf with a tracer.
         params["bert"] = (
-            bert_params
+            jax.tree_util.tree_map(jnp.asarray, bert_params)
             if bert_params is not None
             else bert_mod.init(ks[0], config.bert_cfg(), dtype)
         )

@@ -60,6 +60,37 @@ def test_extract_feawei(tmp_path):
     assert dp.shape == (1, 2304)
 
 
+def test_extract_feawei_accepts_numpy_params():
+    # regression: pickle-loaded / vocab-expanded trees carry host numpy
+    # leaves; indexing numpy word embeddings with a traced id array raised
+    # TracerArrayConversionError inside the jitted feature extractor
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    import jax
+
+    params = fusion.init(jax.random.PRNGKey(0), cfg)
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    data = tiny_dataset(8)
+    feats = LD.extract_feawei(np_params, cfg, data, out_path=None, batch_size=4)
+    assert feats.shape == (8, 2304)
+
+
+def test_fusion_init_converts_injected_numpy_bert():
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    import jax
+
+    fresh = fusion.init(jax.random.PRNGKey(0), cfg)
+    np_bert = jax.tree_util.tree_map(np.asarray, fresh["bert"])
+    merged = fusion.init(jax.random.PRNGKey(1), cfg, bert_params=np_bert)
+    assert all(
+        isinstance(leaf, jnp.ndarray)
+        for leaf in jax.tree_util.tree_leaves(merged["bert"])
+    )
+
+
 def test_rewrite_val_to_test(tmp_path):
     p = tmp_path / "run"
     os.makedirs(p)

@@ -77,21 +77,24 @@ def extract_feawei(
     (past_acc_feawei.py:131-148). Deterministic (eval-mode trunk)."""
     data = train_data.device_put()
     # params may carry host numpy leaves (pickle-loaded / vocab-expanded
-    # trees); numpy arrays cannot be indexed by tracers under jit
+    # trees); numpy arrays cannot be indexed by tracers under jit. They must
+    # also enter the jit as an ARGUMENT, not a closure: closure trees are
+    # baked into the HLO as literal constants, and a BERT-base tree blows
+    # the axon remote-compile payload limit (HTTP 413).
     params = jax.tree_util.tree_map(jnp.asarray, params)
     idx, w = epoch_indices(set_seed(), len(train_data), batch_size, shuffle=False)
 
     @jax.jit
-    def batch_features(b_idx):
+    def batch_features(p, b_idx):
         batch = gather_batch(data, b_idx)
         return fusion.apply(
-            params, batch, fusion_cfg, 0.0, hard=True, rng=None, train=False,
+            p, batch, fusion_cfg, 0.0, hard=True, rng=None, train=False,
             return_features=True,
         )
 
     feats: List[np.ndarray] = []
     for b in range(idx.shape[0]):
-        f = np.asarray(batch_features(idx[b]))
+        f = np.asarray(batch_features(params, idx[b]))
         keep = np.asarray(w[b]) > 0
         feats.append(f[keep])
     out = np.concatenate(feats, axis=0)
@@ -106,27 +109,33 @@ class AlphaSweep:
     alpha over exp(linspace(log 0.01, 2, 50)) with the PriGumbel pretrainer,
     one run per alpha under <out_root>/<alpha>/."""
 
-    def __init__(self, fusion_cfg=None, out_root: str = "model_dict/PriGumbel/alpha"):
+    def __init__(self, fusion_cfg=None, out_root: str = "model_dict/PriGumbel/alpha",
+                 bert_params=None):
         from ..train.legacy import PriGumbelConfig
 
         self.fusion_cfg = fusion_cfg or fusion.config_for("ti", "NDP")
         self.out_root = out_root
         self.base_cfg = PriGumbelConfig()
+        self.bert_params = bert_params
 
     def alphas(self, n: int = 50):
         from ..train.legacy import alpha_sweep_values
 
         return alpha_sweep_values(n)
 
-    def run(self, train_data, test_data, n: int = 50, echo: bool = False):
+    def run(self, train_data, test_data, n: int = 50, echo: bool = False,
+            alphas=None):
+        """``alphas`` overrides the grid (e.g. a subsample of the reference's
+        50 values); default = the reference's full grid."""
         import dataclasses as dc
 
         from ..train.legacy import PriGumbelPretrainer
 
         results = {}
-        for alpha in self.alphas(n):
+        for alpha in (self.alphas(n) if alphas is None else alphas):
             cfg = dc.replace(self.base_cfg, alpha=float(alpha))
-            trainer = PriGumbelPretrainer(self.fusion_cfg, cfg)
+            trainer = PriGumbelPretrainer(self.fusion_cfg, cfg,
+                                          bert_params=self.bert_params)
             results[float(alpha)] = trainer.pretrain(
                 train_data, test_data,
                 path=os.path.join(self.out_root, f"{alpha:.4f}"),

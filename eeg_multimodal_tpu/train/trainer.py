@@ -31,6 +31,7 @@ import optax
 
 from ..data.datasets import MultiModalArrays, epoch_indices, gather_batch
 from ..models import fusion
+from ..ops import optim
 from ..utils.seeding import key_chain, set_seed
 from ..utils.trees import tree_cast
 from . import metrics as M
@@ -67,6 +68,13 @@ class TrainConfig:
     # the 12.5 ms round-1 step); the update math still runs in f32 (optax
     # casts per step). f32 default keeps bit-identical trajectories.
     adam_mu_dtype: str = "float32"
+    # Adam second-moment storage dtype. "bfloat16" removes another
+    # ~0.9 GB/step of the bandwidth-bound optimizer traffic (8 bytes/param
+    # of nu read+write -> 4); update math stays f32 (ops/optim.py). nu only
+    # reaches the update through sqrt(nu_hat)+eps, so storage rounding
+    # perturbs step size by ~2^-9 relative — far below the measured seed
+    # variance. f32 default = stock optax.adam, bit-identical trajectories.
+    adam_nu_dtype: str = "float32"
     # Run the two alternating phases' encoder forwards as ONE vmapped call
     # over their (distinct) dropout keys. The encoder never reads the DP
     # param and phase 1 updates only DP, so both phases see the same encoder
@@ -110,8 +118,11 @@ class StepFunctions:
         self.train_cfg = train_cfg
         self.has_dp_param = fusion_cfg.dp_mode == "lapacian_dropout"
         mu_dtype = jnp.dtype(train_cfg.adam_mu_dtype)
+        nu_dtype = jnp.dtype(train_cfg.adam_nu_dtype)
         self.dp_opt = optax.adam(train_cfg.learning_rate)  # (1, F) leaf: tiny
-        self.model_opt = optax.adam(train_cfg.learning_rate, mu_dtype=mu_dtype)
+        self.model_opt = optim.adam(
+            train_cfg.learning_rate, mu_dtype=mu_dtype, nu_dtype=nu_dtype
+        )
         self._compute_dtype = jnp.dtype(train_cfg.compute_dtype)
 
         fc = fusion_cfg

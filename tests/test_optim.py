@@ -1,0 +1,104 @@
+"""Tests for ops/optim.py — Adam with configurable moment storage dtypes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eeg_multimodal_tpu.ops import optim
+
+
+def _params():
+    k = jax.random.PRNGKey(0)
+    return {
+        "w": jax.random.normal(k, (16, 8), jnp.float32),
+        "b": jnp.linspace(-1.0, 1.0, 8, dtype=jnp.float32),
+    }
+
+
+def _run(opt, params, n=25, lr_grad_scale=1.0):
+    state = opt.init(params)
+    k = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def step(params, state, key):
+        g = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(key, p.shape, p.dtype) * lr_grad_scale
+            + 0.1 * p,
+            params,
+        )
+        upd, state = opt.update(g, state, params)
+        return optax.apply_updates(params, upd), state
+
+    for i in range(n):
+        params, state = step(params, state, jax.random.fold_in(k, i))
+    return params, state
+
+
+def test_f32_path_is_stock_optax_adam_bitwise():
+    params = _params()
+    ours, _ = _run(optim.adam(1e-3), params)
+    stock, _ = _run(optax.adam(1e-3), params)
+    for a, b in zip(jax.tree_util.tree_leaves(ours),
+                    jax.tree_util.tree_leaves(stock)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_custom_transform_matches_optax_in_f32():
+    # the custom update path (exercised whenever nu_dtype=bf16) reproduces
+    # optax.scale_by_adam to float tolerance when storage stays f32
+    params = _params()
+    custom = optax.chain(
+        optim.scale_by_adam_moment_dtypes(), optax.scale(-1e-3)
+    )
+    ours, _ = _run(custom, params)
+    stock, _ = _run(optax.adam(1e-3), params)
+    for a, b in zip(jax.tree_util.tree_leaves(ours),
+                    jax.tree_util.tree_leaves(stock)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_nu_storage_dtype_and_trajectory_tolerance():
+    params = _params()
+    ours, state = _run(
+        optim.adam(1e-3, mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16), params
+    )
+    stock, _ = _run(optax.adam(1e-3), params)
+    # moments stored at the requested dtypes
+    adam_state = state[0]
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(adam_state.mu))
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(adam_state.nu))
+    # params stay f32 and track the f32-moment trajectory closely
+    for a, b in zip(jax.tree_util.tree_leaves(ours),
+                    jax.tree_util.tree_leaves(stock)):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_trainer_accepts_nu_dtype():
+    import dataclasses
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import StepFunctions, TrainConfig
+    from test_trainer import TINY_BERT, tiny_dataset
+    from eeg_multimodal_tpu.data.datasets import epoch_indices
+
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, adam_nu_dtype="bfloat16",
+                     adam_mu_dtype="bfloat16")
+    steps = StepFunctions(cfg, tc)
+    params = fusion.init(jax.random.PRNGKey(0), cfg)
+    dp_os, model_os = steps.init_opt_states(params)
+    data = tiny_dataset(8).device_put()
+    idx, w = epoch_indices(jax.random.PRNGKey(1), 8, 4)
+    params, dp_os, model_os, loss, acc = steps.train_epoch(
+        params, dp_os, model_os, data, idx, w, 0.1, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss))
+    nus = jax.tree_util.tree_leaves(model_os[0].nu)
+    assert all(l.dtype == jnp.bfloat16 for l in nus)

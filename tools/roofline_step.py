@@ -1,15 +1,27 @@
 """Roofline decomposition of the flagship train step (VERDICT r2 item 6).
 
-Times each component of the faithful alternating-optimizer step in isolation
-at the flagship shape (batch 8, S=80, BERT-base, compact vocab, bf16) and
-compares the measured step against per-component speed-of-light bounds:
+Methodology: **scan-length differencing**. The axon TPU attachment adds
+~30-150 ms of host<->device round-trip per dispatched program, so timing an
+isolated jitted call measures the tunnel, not the chip (v1 of this tool
+"measured" an encoder forward at 35.9 ms whose in-scan cost is ~2 ms, and a
+0.57 ms "train step" that would imply 770 TFLOP/s on a 197 TFLOP/s part).
+Instead, every component here is embedded in a ``lax.scan`` with a
+per-iteration data dependence (varying PRNG key, or the evolving optimizer
+state) so XLA can neither hoist nor DCE it, and the reported time is the
+MARGINAL per-iteration cost between a short and a long scan:
+
+    t(component) = (T(scan_long) - T(scan_short)) / (long - short)
+
+Dispatch overhead, argument transfer, and any constant setup cancel in the
+difference. Each component is compared against its speed-of-light bound:
 
   FLOP bound  = component FLOPs / 197 TFLOP/s   (v5e bf16 peak)
   HBM bound   = component bytes / 819 GB/s      (v5e HBM bandwidth)
   light(c)    = max(FLOP bound, HBM bound)
 
-If sum(light(c)) ~= measured step time, the step is at the hardware bound
-and no kernel can win; the gap, if any, names the component to attack.
+If the measured marginal step ~= sum of the HBM-bound parts, the step is
+bandwidth-bound and the ceiling is set by parameter/optimizer traffic, not
+by any fusable compute.
 
 Run on the TPU: python tools/roofline_step.py
 """
@@ -40,21 +52,29 @@ from eeg_multimodal_tpu.utils.trees import tree_cast
 PEAK_TF = 197e12  # v5e bf16
 PEAK_BW = 819e9  # v5e HBM bytes/s
 B = 8
+N_SHORT = int(os.environ.get("ROOFLINE_N_SHORT", 10))
+N_LONG = int(os.environ.get("ROOFLINE_N_LONG", 110))
 
 REF = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 
-def timeit(fn, *args, n=30, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def median_time(fn, n=7):
+    """Median wall time of fn() with block_until_ready on its result."""
+    jax.block_until_ready(fn())  # compile + warm
+    jax.block_until_ready(fn())
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def marginal(make_scan_fn):
+    """Marginal per-iteration seconds between N_SHORT and N_LONG scans."""
+    t_s = median_time(make_scan_fn(N_SHORT))
+    t_l = median_time(make_scan_fn(N_LONG))
+    return (t_l - t_s) / (N_LONG - N_SHORT)
 
 
 def tree_bytes(tree):
@@ -98,101 +118,155 @@ def main():
     by_params = tree_bytes(params)  # f32 master copy
 
     print(f"flagship shape: B={B} S={S} vocab={cv.size} params={n_params/1e6:.1f}M "
-          f"(f32 {by_params/1e6:.0f} MB)  encoder fwd FLOPs={f_fwd/1e9:.1f}G")
+          f"(f32 {by_params/1e6:.0f} MB)  encoder fwd FLOPs={f_fwd/1e9:.1f}G  "
+          f"marginal over {N_SHORT}->{N_LONG}-step scans")
     rows = []
 
     def row(name, t, flops, bytes_):
-        light = max(flops / PEAK_TF, bytes_ / PEAK_BW)
-        bound = "flop" if flops / PEAK_TF > bytes_ / PEAK_BW else "hbm"
-        rows.append((name, t, flops, bytes_, light, bound))
-        print(f"{name:34s} {t*1e3:8.3f} ms   light {light*1e3:7.3f} ms "
+        t_flop, t_hbm = flops / PEAK_TF, bytes_ / PEAK_BW
+        light = max(t_flop, t_hbm)
+        bound = "flop" if t_flop > t_hbm else "hbm"
+        rows.append((name, t, light, bound))
+        print(f"{name:36s} {t*1e3:8.3f} ms   light {light*1e3:7.3f} ms "
               f"({bound}-bound, {100*light/max(t,1e-12):5.1f}% of light)")
+        return t
 
-    # -- full faithful train step: a 10-step scanned epoch, state threaded
-    # through repeated calls (train_epoch donates its inputs)
-    idx10, w10 = epoch_indices(key, 10 * B, B)
+    # ---- the faithful train step: marginal over real train_epoch scans ----
+    # train_epoch donates params/opt state, so thread fresh copies per call
+    # via a stateful closure (the compile is cached across lengths? no —
+    # different idx lengths are different programs; each compiles once).
+    def make_epoch(n):
+        idx, w = epoch_indices(key, n * B, B)
 
-    def epoch10(params, dp_os, model_os):
-        return steps.train_epoch(params, dp_os, model_os, train_dev, idx10,
-                                 w10, 0.1, key)
+        def run(state=[None]):
+            if state[0] is None:
+                # fresh copies: train_epoch donates its inputs, and the
+                # originals are reused by the component scans below
+                state[0] = jax.tree_util.tree_map(
+                    jnp.copy, (params, dp_os, model_os)
+                )
+            p, d_os, m_os = state[0]
+            p, d_os, m_os, tl, _ = steps.train_epoch(
+                p, d_os, m_os, train_dev, idx, w, 0.1, key
+            )
+            state[0] = (p, d_os, m_os)
+            return tl
 
-    params, dp_os, model_os, tl, _ = epoch10(params, dp_os, model_os)  # compile
-    jax.block_until_ready(tl)
-    ts = []
-    for _ in range(12):
-        t0 = time.perf_counter()
-        params, dp_os, model_os, tl, _ = epoch10(params, dp_os, model_os)
-        jax.block_until_ready(tl)
-        ts.append(time.perf_counter() - t0)
-    t_step = float(np.median(ts)) / 10
+        return run
+
+    t_step = marginal(make_epoch)
     # faithful step: 2 encoder fwd + 1 encoder bwd (phase1 bwd is DP-only);
-    # bytes: params read f32+cast per fwd (2x), bwd reads, grads f32, adam
-    # p+m(bf16)+v r/w on model params, small head/cross extra
-    f_step = 3 * f_fwd + 2 * f_fwd  # bwd ~ 2x fwd
-    by_adam = n_params * (4 + 2 + 4 + 4 + 2 + 4 + 4)  # r p,m,v + w p,m,v + grad read
-    by_step = 3 * by_params + by_adam
-    row("faithful train step (measured)", t_step, f_step, by_step)
+    # bytes: params f32 read+bf16 write per phase cast (CSE'd to ~1x),
+    # bwd re-reads bf16 params, grads f32, adam r/w p,v f32 + m bf16
+    f_step = 2 * f_fwd + 2 * f_fwd  # bwd ~ 2x fwd
+    by_adam = n_params * (4 + 2 + 4 + 4 + 2 + 4 + 4)  # r p,m,v,g + w p,m,v
+    by_step = int(1.5 * by_params) + by_params // 2 + by_adam
+    row("faithful train step (marginal)", t_step, f_step, by_step)
 
-    # -- encoder forward -----------------------------------------------------
+    # ---- eval step (1 forward, no grads/opt) -------------------------------
+    def make_eval(n):
+        eidx, ew = epoch_indices(key, n * B, B, shuffle=False)
+
+        def run():
+            return steps.eval_epoch(params, train_dev, eidx, ew, 0.1, key)[0]
+
+        return run
+
+    t_eval = row("eval step (marginal)", marginal(make_eval),
+                 f_fwd, by_params // 2)
+
+    # ---- encoder forward, per-iteration fresh dropout key ------------------
     bp16 = tree_cast(params["bert"], jnp.bfloat16)
     ids = train_dev["eeg_input"][:B]
     am = train_dev["eeg_mask"][:B]
 
-    enc = jax.jit(lambda p: bert_mod.apply(p, ids, am, bert_cfg,
-                                           dropout_key=None))
-    t_enc = timeit(enc, bp16)
-    row("encoder fwd (bf16, no dropout)", t_enc, f_fwd, tree_bytes(bp16))
+    def make_enc(n):
+        keys = jax.random.split(key, n)
 
-    enc_d = jax.jit(lambda p, k: bert_mod.apply(p, ids, am, bert_cfg,
-                                                dropout_key=k))
-    t_enc_d = timeit(enc_d, bp16, key)
-    row("encoder fwd (+dropout masks)", t_enc_d, f_fwd, tree_bytes(bp16))
+        @jax.jit
+        def scan(p):
+            def it(acc, k):
+                seq, pooled = bert_mod.apply(p, ids, am, bert_cfg, dropout_key=k)
+                return acc + pooled.astype(jnp.float32).sum(), None
 
-    # -- encoder fwd + bwd ---------------------------------------------------
-    def loss(p, k):
-        seq, pooled = bert_mod.apply(p, ids, am, bert_cfg, dropout_key=k)
-        return jnp.sum(pooled.astype(jnp.float32) ** 2)
+            acc, _ = jax.lax.scan(it, jnp.float32(0), keys)
+            return acc
 
-    gr = jax.jit(jax.grad(loss))
-    t_gr = timeit(gr, bp16, key)
-    row("encoder fwd+bwd", t_gr, 3 * f_fwd, 3 * tree_bytes(bp16))
+        return lambda: scan(bp16)
 
-    # -- cast f32->bf16 of the param tree (per-phase in the real step) ------
-    cast = jax.jit(lambda p: tree_cast(p, jnp.bfloat16))
-    t_cast = timeit(cast, params["bert"])
-    row("param tree cast f32->bf16", t_cast, 0, by_params * 1.5)
+    t_enc = row("encoder fwd (bf16 + dropout)", marginal(make_enc),
+                f_fwd, tree_bytes(bp16))
 
-    # -- adam update on the full tree ---------------------------------------
+    # ---- encoder fwd+bwd ----------------------------------------------------
+    def make_encg(n):
+        keys = jax.random.split(key, n)
+
+        @jax.jit
+        def scan(p):
+            def loss(p_, k):
+                seq, pooled = bert_mod.apply(p_, ids, am, bert_cfg, dropout_key=k)
+                return pooled.astype(jnp.float32).sum()
+
+            def it(acc, k):
+                g = jax.grad(loss)(p, k)
+                leaves = jax.tree_util.tree_leaves(g)
+                return acc + sum(l.astype(jnp.float32).sum() for l in leaves), None
+
+            acc, _ = jax.lax.scan(it, jnp.float32(0), keys)
+            return acc
+
+        return lambda: scan(bp16)
+
+    t_encg = row("encoder fwd+bwd", marginal(make_encg),
+                 3 * f_fwd, 3 * tree_bytes(bp16))
+
+    # ---- adam on the full tree (state evolves through the scan) ------------
     import optax
 
-    g_like = jax.tree_util.tree_map(jnp.zeros_like, params)
     opt = optax.adam(1e-6, mu_dtype=jnp.bfloat16)
-    os_ = opt.init(params)
 
-    @jax.jit
-    def adam_step(params, os_, g):
-        upd, os2 = opt.update(g, os_, params)
-        return optax.apply_updates(params, upd), os2
+    def make_adam(n):
+        g0 = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1e-4), params)
 
-    t_adam = timeit(adam_step, params, os_, g_like)
-    row("adam update (full tree)", t_adam, 0, by_adam)
+        @jax.jit
+        def scan(p, os_):
+            def it(carry, _):
+                p_, o_ = carry
+                upd, o2 = opt.update(g0, o_, p_)
+                return (optax.apply_updates(p_, upd), o2), None
 
-    # -- summary -------------------------------------------------------------
+            (p, os_), _ = jax.lax.scan(it, (p, os_), None, length=n)
+            # consume EVERY leaf: adam chains are independent per leaf, so
+            # returning one leaf lets XLA DCE the rest of the tree entirely
+            return sum(
+                l.astype(jnp.float32).sum()
+                for l in jax.tree_util.tree_leaves(p)
+            )
+
+        os0 = opt.init(params)
+        return lambda: scan(params, os0)
+
+    t_adam = row("adam update (full tree, bf16 mu)", marginal(make_adam),
+                 0, n_params * (4 + 2 + 4 + 4 + 4 + 2 + 4))
+
+    # ---- summary ------------------------------------------------------------
     print()
-    light_parts = {
-        "2 enc fwd + 1 enc fwd+bwd": 2 * t_enc_d + t_gr,
-        "adam": t_adam,
-    }
-    comp = sum(light_parts.values())
-    print(f"measured faithful step : {t_step*1e3:8.3f} ms "
-          f"({1/t_step:.1f} steps/s)")
-    print(f"sum of measured parts  : {comp*1e3:8.3f} ms "
-          f"(enc 2f+fb {1e3*(2*t_enc_d+t_gr):.3f} + adam {t_adam*1e3:.3f})")
-    print(f"unexplained            : {(t_step-comp)*1e3:8.3f} ms "
-          f"(cross-attn, head, DP, metrics, gather, cast)")
+    comp = 2 * t_enc + (t_encg - t_enc) + t_adam
+    print(f"marginal faithful step  : {t_step*1e3:8.3f} ms "
+          f"({1/t_step:.1f} train steps/s)")
+    print(f"sum of component costs  : {comp*1e3:8.3f} ms "
+          f"(2 enc fwd {2*t_enc*1e3:.3f} + bwd {(t_encg-t_enc)*1e3:.3f} "
+          f"+ adam {t_adam*1e3:.3f})")
+    print(f"unexplained             : {(t_step-comp)*1e3:8.3f} ms "
+          f"(cross-attn, head, DP block, gather, metrics, casts)")
     light_step = max(f_step / PEAK_TF, by_step / PEAK_BW)
-    print(f"speed of light (step)  : {light_step*1e3:8.3f} ms "
-          f"-> {1/light_step:.0f} steps/s ceiling")
+    print(f"speed of light (step)   : {light_step*1e3:8.3f} ms "
+          f"-> {1/light_step:.0f} steps/s ceiling at current traffic")
+    print(f"eval step               : {t_eval*1e3:8.3f} ms")
+    # the bench cycle: 301 train + 76 eval steps
+    cyc = 301 * t_step + 76 * t_eval
+    print(f"implied bench figure    : {301/cyc:8.1f} steps/s "
+          f"(301 train + 76 eval per cycle)")
 
 
 if __name__ == "__main__":

@@ -111,12 +111,25 @@ def main():
         train = remap_pairing(train, cv)
         test = remap_pairing(test, cv)
         fc = dataclasses.replace(fc, bert_config=BertConfig(vocab_size=cv.size))
-    # bf16 Adam first moment: halves the m-buffer traffic of the
-    # memory-bound update (update math stays f32 — optax casts per step);
-    # EEG_BENCH_MU_F32=1 restores bit-exact f32 moments for comparison
+    # bf16 Adam moments: the optimizer update is the step's largest HBM
+    # consumer (tools/roofline_step.py measures it AT its bandwidth bound),
+    # and both moments only feed the update through f32 math after a cast-up
+    # (ops/optim.py), so bf16 storage halves their traffic at ~2^-9 relative
+    # step-size perturbation. Flagship-accuracy validation: a 1.0-sigma move
+    # at the noisiest frontier cell, within the measured seed distribution
+    # (ACCURACY.md item 14); accuracy tables stay on f32 moments.
+    # EEG_BENCH_MU_F32=1 / EEG_BENCH_NU_F32=1 restore f32 moments.
     mu = "float32" if os.environ.get("EEG_BENCH_MU_F32") else "bfloat16"
+    nu = "float32" if os.environ.get("EEG_BENCH_NU_F32") else "bfloat16"
+    # Carry the bf16 compute copy of the params through the epoch scan
+    # instead of re-reading the f32 master for a cast every step (same
+    # program up to <=1 bf16-ulp excess-precision rounding on a handful of
+    # gradient elements — see TrainConfig.precast_params). EEG_BENCH_NO_
+    # PRECAST=1 restores the in-step cast.
+    precast = not os.environ.get("EEG_BENCH_NO_PRECAST")
     tc = TrainConfig(batch_size=BATCH, compute_dtype="bfloat16",
-                     adam_mu_dtype=mu)
+                     adam_mu_dtype=mu, adam_nu_dtype=nu,
+                     precast_params=precast)
     steps = StepFunctions(fc, tc)
 
     key = set_seed()

@@ -75,6 +75,23 @@ class TrainConfig:
     # perturbs step size by ~2^-9 relative — far below the measured seed
     # variance. f32 default = stock optax.adam, bit-identical trajectories.
     adam_nu_dtype: str = "float32"
+    # Carry the compute-dtype (bf16) copy of the model params through the
+    # epoch scan instead of re-casting the f32 master tree inside every
+    # step. The per-step cast reads the full f32 tree (~470 MB at BERT-base)
+    # just to produce the bf16 compute copy; carrying the copy lets XLA fuse
+    # its refresh into the Adam update's output pass, deleting that read.
+    # Semantically the same program: the vjp of convert_element_type is the
+    # reverse convert, so grad-through-cast (default) and cast-up-of-grad-
+    # w.r.t.-the-bf16-tree (this path) compute the same values, and the
+    # carried copy always equals cast(master). The ONLY numeric difference
+    # is XLA excess precision at the cast boundary: the default path may
+    # keep the cotangent in f32 through the in-graph convert, while this
+    # path materializes it at bf16 — measured <=1 bf16 ulp on <0.01% of
+    # gradient elements (tests/test_optim.py::test_precast_params_matches),
+    # orders below the validated bf16-moment rounding. Covers the faithful
+    # alternating and single-optimizer steps (refused with the paired/
+    # shared fast modes). No-op at compute_dtype float32.
+    precast_params: bool = False
     # Run the two alternating phases' encoder forwards as ONE vmapped call
     # over their (distinct) dropout keys. The encoder never reads the DP
     # param and phase 1 updates only DP, so both phases see the same encoder
@@ -124,6 +141,19 @@ class StepFunctions:
             train_cfg.learning_rate, mu_dtype=mu_dtype, nu_dtype=nu_dtype
         )
         self._compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+        self._precast = (
+            train_cfg.precast_params and self._compute_dtype != jnp.float32
+        )
+        if self._precast and (
+            train_cfg.paired_phase_encode
+            or train_cfg.share_phase_dropout
+            or train_cfg.reuse_phase_features
+        ):
+            raise ValueError(
+                "precast_params covers the faithful alternating and "
+                "single-optimizer steps; the paired/shared fast modes keep "
+                "the in-step cast"
+            )
 
         fc = fusion_cfg
 
@@ -137,8 +167,15 @@ class StepFunctions:
             loss, acc, pred, label = M.cal_loss(logits, batch["labels"], weight)
             return loss, (acc, pred, logits)
 
+        def loss_precast(params_c, batch, weight, epsilon, rng, hard, train):
+            # params_c is already in compute dtype — no in-step master read
+            logits = fusion.apply(params_c, batch, fc, epsilon, hard, rng, train)
+            loss, acc, pred, label = M.cal_loss(logits, batch["labels"], weight)
+            return loss, (acc, pred, logits)
+
         self.forward = forward
         self.loss_fn = loss_fn
+        self.loss_precast = loss_precast
         # donate params/optimizer states: the epoch returns their successors,
         # so aliasing the 1.3 GB of state in place frees HBM headroom for
         # vmapped sweep members
@@ -157,8 +194,21 @@ class StepFunctions:
         n_batches = idx.shape[0]
         step_keys = jax.random.split(key, n_batches)
 
+        if self._precast:
+            # the compute-dtype copy rides the carry; each step refreshes it
+            # from the updated master (fused into the Adam output pass)
+            if self.has_dp_param:
+                params_c0 = tree_cast(
+                    {k: v for k, v in params.items() if k != "DP"},
+                    self._compute_dtype,
+                )
+            else:
+                params_c0 = tree_cast(params, self._compute_dtype)
+        else:
+            params_c0 = None
+
         def step(carry, xs):
-            params, dp_os, model_os = carry
+            params, params_c, dp_os, model_os = carry
             b_idx, w, sk = xs
             batch = gather_batch(data, b_idx)
             k1, k2 = jax.random.split(sk)
@@ -182,6 +232,44 @@ class StepFunctions:
                 params, dp_os, model_os, loss, acc = self._paired_phase_step(
                     params, dp_os, model_os, batch, w, epsilon, k1, k2
                 )
+            elif self.has_dp_param and self._precast:
+                # faithful alternating step over the carried compute-dtype
+                # copy: grads are taken w.r.t. the bf16 tree and cast up
+                # (convert's vjp is the reverse convert; only XLA excess
+                # precision at this boundary can differ — see the
+                # precast_params field note), Adam updates the f32 master,
+                # and the copy refreshes from the update's output.
+                rest = {k: v for k, v in params.items() if k != "DP"}
+                dp_leaf = params["DP"]
+                compute = self._compute_dtype
+
+                def loss_dp(dp):
+                    return self.loss_precast(
+                        {**params_c, "DP": dp.astype(compute)}, batch, w,
+                        epsilon, k1, hard=False, train=True,
+                    )[0]
+
+                g_dp = jax.grad(loss_dp)(dp_leaf)
+                upd, dp_os = self.dp_opt.update(g_dp, dp_os)
+                dp_leaf = optax.apply_updates(dp_leaf, upd)
+                dp_c = dp_leaf.astype(compute)
+
+                def loss_model(rest_c):
+                    return self.loss_precast(
+                        {**rest_c, "DP": dp_c}, batch, w, epsilon, k2,
+                        hard=True, train=True,
+                    )
+
+                (loss, (acc, _, _)), g16 = jax.value_and_grad(
+                    loss_model, has_aux=True
+                )(params_c)
+                g = jax.tree_util.tree_map(
+                    lambda gl, pl: gl.astype(pl.dtype), g16, rest
+                )
+                upd, model_os = self.model_opt.update(g, model_os, rest)
+                rest = optax.apply_updates(rest, upd)
+                params = {**rest, "DP": dp_leaf}
+                params_c = tree_cast(rest, compute)
             elif self.has_dp_param:
                 # phase 1: DP param only, hard=False (base_train.py:183-195).
                 # grad w.r.t. the DP leaf alone => XLA prunes the heavy
@@ -212,6 +300,17 @@ class StepFunctions:
                 upd, model_os = self.model_opt.update(g, model_os, rest)
                 rest = optax.apply_updates(rest, upd)
                 params = {**rest, "DP": dp_leaf}
+            elif self._precast:
+                # single-optimizer regimes over the carried compute copy
+                (loss, (acc, _, _)), g16 = jax.value_and_grad(
+                    self.loss_precast, has_aux=True
+                )(params_c, batch, w, epsilon, k2, True, True)
+                g = jax.tree_util.tree_map(
+                    lambda gl, pl: gl.astype(pl.dtype), g16, params
+                )
+                upd, model_os = self.model_opt.update(g, model_os, params)
+                params = optax.apply_updates(params, upd)
+                params_c = tree_cast(params, self._compute_dtype)
             else:
                 # single-optimizer regimes: NDP / equal-weight / feature_all_lap
                 # (base_train.py:436-553)
@@ -221,10 +320,10 @@ class StepFunctions:
                 upd, model_os = self.model_opt.update(g, model_os, params)
                 params = optax.apply_updates(params, upd)
 
-            return (params, dp_os, model_os), (loss, acc)
+            return (params, params_c, dp_os, model_os), (loss, acc)
 
-        (params, dp_os, model_os), (losses, accs) = jax.lax.scan(
-            step, (params, dp_os, model_os), (idx, weight, step_keys)
+        (params, _, dp_os, model_os), (losses, accs) = jax.lax.scan(
+            step, (params, params_c0, dp_os, model_os), (idx, weight, step_keys)
         )
         # reference reports mean-of-batch-means (base_train.py:239-242)
         return params, dp_os, model_os, losses.mean(), accs.mean()

@@ -78,6 +78,78 @@ def test_bf16_nu_storage_dtype_and_trajectory_tolerance():
                                    rtol=2e-2, atol=2e-3)
 
 
+def _epoch_result(fusion_cfg, tc, n=8):
+    from eeg_multimodal_tpu.data.datasets import epoch_indices
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import StepFunctions
+    from test_trainer import tiny_dataset
+
+    steps = StepFunctions(fusion_cfg, tc)
+    params = fusion.init(jax.random.PRNGKey(0), fusion_cfg)
+    dp_os, model_os = steps.init_opt_states(params)
+    data = tiny_dataset(n).device_put()
+    idx, w = epoch_indices(jax.random.PRNGKey(1), n, 4)
+    return steps.train_epoch(
+        params, dp_os, model_os, data, idx, w, 0.1, jax.random.PRNGKey(2)
+    )
+
+
+def test_precast_params_matches():
+    # carrying the bf16 compute copy through the scan (precast_params) is the
+    # same program as the cast-inside-the-step path; the only permitted
+    # numeric difference is XLA excess precision at the cast boundary (the
+    # default path may keep the cotangent in f32 through the in-graph
+    # convert), worth at most one bf16 ulp on a tiny fraction of gradient
+    # elements. Assert near-total bitwise equality plus a 1-ulp bound, in
+    # both the alternating (lapacian_dropout) and single-optimizer (NDP)
+    # regimes.
+    import dataclasses
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import TrainConfig
+    from test_trainer import TINY_BERT
+
+    for dp_mode in ("lapacian_dropout", "NDP"):
+        cfg = dataclasses.replace(
+            fusion.config_for("ti", dp_mode), bert_config=TINY_BERT
+        )
+        base = TrainConfig(batch_size=4, compute_dtype="bfloat16")
+        ref = _epoch_result(cfg, base)
+        pre = _epoch_result(
+            cfg, dataclasses.replace(base, precast_params=True)
+        )
+        n_tot = n_eq = 0
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(pre)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(
+                a.astype(np.float64), b.astype(np.float64),
+                rtol=2.0 ** -8, atol=1e-7,
+            )
+            n_tot += a.size
+            n_eq += int((a == b).sum())
+        assert n_eq / n_tot > 0.999, f"{dp_mode}: {n_tot - n_eq}/{n_tot} differ"
+
+
+def test_precast_refuses_fast_modes():
+    import dataclasses
+
+    import pytest
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import StepFunctions, TrainConfig
+    from test_trainer import TINY_BERT
+
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, compute_dtype="bfloat16",
+                     precast_params=True, share_phase_dropout=True)
+    with pytest.raises(ValueError):
+        StepFunctions(cfg, tc)
+
+
 def test_trainer_accepts_nu_dtype():
     import dataclasses
 

@@ -59,21 +59,33 @@ REF = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 
 def median_time(fn, n=7):
-    """Median wall time of fn() with block_until_ready on its result."""
-    jax.block_until_ready(fn())  # compile + warm
-    jax.block_until_ready(fn())
+    """Median wall time of fn() forcing a VALUE fetch of its (scalar) result.
+
+    np.asarray, not block_until_ready: on the axon remote attachment,
+    block_until_ready can return without awaiting device execution for
+    donated-input programs (roofline v3 "measured" a 110-step train epoch at
+    7.6 ms this way — less than one real step). Fetching the scalar's value
+    round-trips through the device and cannot lie."""
+    np.asarray(fn())  # compile + warm
+    np.asarray(fn())
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        np.asarray(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
-def marginal(make_scan_fn):
-    """Marginal per-iteration seconds between N_SHORT and N_LONG scans."""
+def marginal(make_scan_fn, name=""):
+    """Marginal per-iteration seconds between N_SHORT and N_LONG scans.
+
+    Prints the raw short/long medians: a marginal is only trustworthy when
+    T(long) >> T(short); if the two are close the measurement is dominated
+    by per-call overhead and the marginal is noise."""
     t_s = median_time(make_scan_fn(N_SHORT))
     t_l = median_time(make_scan_fn(N_LONG))
+    print(f"    [{name}] raw T({N_SHORT})={t_s*1e3:.3f} ms  "
+          f"T({N_LONG})={t_l*1e3:.3f} ms")
     return (t_l - t_s) / (N_LONG - N_SHORT)
 
 
@@ -135,8 +147,11 @@ def main():
     # train_epoch donates params/opt state, so thread fresh copies per call
     # via a stateful closure (the compile is cached across lengths? no —
     # different idx lengths are different programs; each compiles once).
+    n_data = train.eeg_input.shape[0]
+
     def make_epoch(n):
         idx, w = epoch_indices(key, n * B, B)
+        idx = idx % n_data  # wrap synthetic epochs onto the real 601 rows
 
         def run(state=[None]):
             if state[0] is None:
@@ -154,7 +169,7 @@ def main():
 
         return run
 
-    t_step = marginal(make_epoch)
+    t_step = marginal(make_epoch, "train epoch")
     # faithful step: 2 encoder fwd + 1 encoder bwd (phase1 bwd is DP-only);
     # bytes: params f32 read+bf16 write per phase cast (CSE'd to ~1x),
     # bwd re-reads bf16 params, grads f32, adam r/w p,v f32 + m bf16
@@ -166,13 +181,14 @@ def main():
     # ---- eval step (1 forward, no grads/opt) -------------------------------
     def make_eval(n):
         eidx, ew = epoch_indices(key, n * B, B, shuffle=False)
+        eidx = eidx % n_data
 
         def run():
             return steps.eval_epoch(params, train_dev, eidx, ew, 0.1, key)[0]
 
         return run
 
-    t_eval = row("eval step (marginal)", marginal(make_eval),
+    t_eval = row("eval step (marginal)", marginal(make_eval, "eval epoch"),
                  f_fwd, by_params // 2)
 
     # ---- encoder forward, per-iteration fresh dropout key ------------------
@@ -194,7 +210,7 @@ def main():
 
         return lambda: scan(bp16)
 
-    t_enc = row("encoder fwd (bf16 + dropout)", marginal(make_enc),
+    t_enc = row("encoder fwd (bf16 + dropout)", marginal(make_enc, "enc fwd"),
                 f_fwd, tree_bytes(bp16))
 
     # ---- encoder fwd+bwd ----------------------------------------------------
@@ -217,7 +233,7 @@ def main():
 
         return lambda: scan(bp16)
 
-    t_encg = row("encoder fwd+bwd", marginal(make_encg),
+    t_encg = row("encoder fwd+bwd", marginal(make_encg, "enc fwd+bwd"),
                  3 * f_fwd, 3 * tree_bytes(bp16))
 
     # ---- adam on the full tree (state evolves through the scan) ------------
@@ -246,7 +262,7 @@ def main():
         os0 = opt.init(params)
         return lambda: scan(params, os0)
 
-    t_adam = row("adam update (full tree, bf16 mu)", marginal(make_adam),
+    t_adam = row("adam update (full tree, bf16 mu)", marginal(make_adam, "adam"),
                  0, n_params * (4 + 2 + 4 + 4 + 4 + 2 + 4))
 
     # ---- summary ------------------------------------------------------------

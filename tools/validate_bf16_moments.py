@@ -58,6 +58,9 @@ fc = dataclasses.replace(
 tc = TrainConfig(
     epochs=args.epochs, seed=args.seed, compute_dtype="bfloat16",
     adam_mu_dtype="bfloat16", adam_nu_dtype="bfloat16",
+    # EEG_VALIDATE_PRECAST=1 -> validate the FULL bench configuration
+    # (bf16 moments + carried bf16 param copy) in one run
+    precast_params=bool(os.environ.get("EEG_VALIDATE_PRECAST")),
 )
 trainer = Trainer(fc, tc, bert_params=bert_params)
 res = trainer.fit(
@@ -68,7 +71,8 @@ res = trainer.fit(
 best = res["best"] or max(res["history"], key=lambda h: h["f1"])
 out = {
     "config": {"eps": args.epsilon, "seed": args.seed, "epochs": args.epochs,
-               "adam_mu_dtype": "bfloat16", "adam_nu_dtype": "bfloat16"},
+               "adam_mu_dtype": "bfloat16", "adam_nu_dtype": "bfloat16",
+               "precast_params": tc.precast_params},
     "best_acc": best["test_acc"],
     "best_f1": res["f1_best"],
     "epoch": best["epoch"],

@@ -83,6 +83,29 @@ def test_viz_parses_reference_logs():
     assert abs(best["f1"] - 0.967) < 1e-9
 
 
+def test_committed_run_logs_parse_with_legacy_parser():
+    # every run log committed under examples/logs/ must satisfy the same
+    # byte-format contract the reference's tooling parses — our own
+    # artifacts are consumers of the format too (plots, rewrite_val_to_test)
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples", "logs")
+    dirs = sorted(
+        {os.path.dirname(p)
+         for p in glob.glob(os.path.join(root, "**", "whole_record.txt"),
+                            recursive=True)}
+    )
+    assert len(dirs) >= 30, f"expected many committed runs, found {len(dirs)}"
+    for d in dirs:
+        rows = viz.load_run(d)
+        assert rows, f"no parseable rows in {d}"
+        for key in ("epoch", "train_loss", "test_accuracy", "f1",
+                    "time_cost_s"):
+            assert key in rows[0], f"{d} missing {key}"
+        best = viz.best_row(rows, "f1")
+        assert 0.0 <= best["f1"] <= 1.0
+
+
 def test_viz_figures(tmp_path):
     rows = [
         {"epoch": i + 1, "train_loss": 0.7 - 0.01 * i, "train_accuracy": 0.5,

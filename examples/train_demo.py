@@ -22,6 +22,9 @@ p.add_argument("--n", type=int, default=256, help="train subset size")
 p.add_argument("--dtype", default="bfloat16")
 p.add_argument("--epsilon", type=float, default=0.1)
 p.add_argument("--log", default="/tmp/dpmld_demo")
+p.add_argument("--precast", action="store_true",
+               help="carry the bf16 param copy through the epoch scan "
+                    "(TrainConfig.precast_params)")
 p.add_argument("--fused_dp", action="store_true",
                help="route the DP block through the fused Pallas kernel")
 args = p.parse_args()
@@ -49,7 +52,8 @@ fc = fusion.config_for("ti", "lapacian_dropout")
 if args.fused_dp:
     import dataclasses
     fc = dataclasses.replace(fc, fused_dp_kernel=True)
-tc = TrainConfig(epochs=args.epochs, compute_dtype=args.dtype)
+tc = TrainConfig(epochs=args.epochs, compute_dtype=args.dtype,
+                 precast_params=args.precast)
 trainer = Trainer(fc, tc)
 t0 = time.time()
 out = trainer.fit(tr, te, epsilon=args.epsilon, log_path=args.log)

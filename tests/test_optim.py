@@ -150,6 +150,31 @@ def test_precast_refuses_fast_modes():
         StepFunctions(cfg, tc)
 
 
+def test_sweep_composes_with_precast():
+    # the vmapped sweep engine maps over _train_epoch's member axis; the
+    # precast carry (per-member bf16 copy) must compose with vmap
+    import dataclasses
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.sweep import SweepMember, SweepRunner
+    from eeg_multimodal_tpu.train.trainer import TrainConfig
+    from test_trainer import TINY_BERT, tiny_dataset
+
+    cfg = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, epochs=2, compute_dtype="bfloat16",
+                     adam_mu_dtype="bfloat16", adam_nu_dtype="bfloat16",
+                     precast_params=True)
+    members = [SweepMember(epsilon=0.1, seed=1), SweepMember(epsilon=1.0, seed=2)]
+    runner = SweepRunner(cfg, tc, members)
+    out = runner.run(tiny_dataset(8), tiny_dataset(8), echo=False)
+    assert len(out) == 2
+    for m in out:
+        hist = m["history"]
+        assert hist and all(np.isfinite(h["train_loss"]) for h in hist)
+
+
 def test_trainer_accepts_nu_dtype():
     import dataclasses
 

@@ -176,8 +176,13 @@ def main():
         )
         eidx, ew = epoch_indices(k2, len(test), BATCH, shuffle=False)
         te = steps.eval_epoch(params, test_dev, eidx, ew, 0.1, k2)
-        jax.block_until_ready((tr_loss, te[0]))
-        return params, dp_os, model_os, float(tr_loss)
+        # force VALUE fetches, not block_until_ready: on the axon remote
+        # attachment block_until_ready can return before device execution
+        # completes (see tools/roofline_step.py), which would let the eval
+        # spill into the next epoch's window
+        tr = float(np.asarray(tr_loss))
+        float(np.asarray(te[0]).sum())
+        return params, dp_os, model_os, tr
 
     # warmup (compile)
     params, dp_os, model_os, _ = one_epoch(params, dp_os, model_os, 0)

@@ -375,15 +375,16 @@ def pretrain_finetune_mlm(
     from .checkpoint import load_pytree, save_pytree
 
     os.makedirs(out_root, exist_ok=True)
+    # data loads from data_root; logs/checkpoints land under the run dir
+    # (train_on resolves model_path/log_path from artifacts_root) — passed
+    # at construction, never mutated after (the round-2 regression pattern)
     job = TrainAndTest(
         batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
-        data_root=data_root, compute_dtype=compute_dtype, echo=echo,
+        data_root=data_root, artifacts_root=out_root,
+        compute_dtype=compute_dtype, echo=echo,
     )
     train = job._load_split("train", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
     test = job._load_split("test", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
-    # logs/checkpoints under the run dir (train_on resolves model_path and
-    # log_path from artifacts_root, which __init__ bound to data_root)
-    job.artifacts_root = out_root
     train, test = D.truncate_pair(train, test)
 
     emb_root = os.path.join(data_root, "data", "embedding")

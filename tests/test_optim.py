@@ -150,6 +150,32 @@ def test_precast_refuses_fast_modes():
         StepFunctions(cfg, tc)
 
 
+def test_fit_end_to_end_with_bench_configuration(tmp_path):
+    # the exact bench.py configuration (bf16 compute + bf16 Adam moments +
+    # precast param carry) through the full Trainer.fit path: records,
+    # stochastic eval, best-F1 checkpoint
+    import dataclasses
+    import os
+
+    from eeg_multimodal_tpu.models import fusion
+    from eeg_multimodal_tpu.train.trainer import Trainer, TrainConfig
+    from test_trainer import TINY_BERT, tiny_dataset
+
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    tc = TrainConfig(batch_size=4, epochs=3, compute_dtype="bfloat16",
+                     adam_mu_dtype="bfloat16", adam_nu_dtype="bfloat16",
+                     precast_params=True)
+    tr = Trainer(fc, tc)
+    res = tr.fit(tiny_dataset(8), tiny_dataset(6, seed=1), epsilon=0.1,
+                 log_path=str(tmp_path / "logs"),
+                 model_path=str(tmp_path / "model"), echo=False)
+    assert len(res["history"]) == 3
+    assert all(np.isfinite(h["train_loss"]) for h in res["history"])
+    assert os.path.exists(tmp_path / "logs" / "whole_record.txt")
+
+
 def test_sweep_composes_with_precast():
     # the vmapped sweep engine maps over _train_epoch's member axis; the
     # precast carry (per-member bf16 copy) must compose with vmap

@@ -78,6 +78,81 @@ def test_bf16_nu_storage_dtype_and_trajectory_tolerance():
                                    rtol=2e-2, atol=2e-3)
 
 
+def test_stochastic_round_exact_and_unbiased():
+    # values already representable in bf16 are returned exactly; for a
+    # mid-interval value the mean over many keys converges to the value
+    exact = jnp.asarray([1.0, -2.5, 0.0, 3.141592653589793], jnp.float32)
+    exact_bf = exact.astype(jnp.bfloat16).astype(jnp.float32)
+    out = optim.stochastic_round_to_bf16(exact_bf, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(out.astype(jnp.float32)), np.asarray(exact_bf)
+    )
+
+    # bf16 has 7 explicit mantissa bits -> ulp 2^-7 in [1, 2)
+    x = jnp.full((20000,), 1.0 + 0.3 * 2.0**-7, jnp.float32)  # 30% into the ulp
+    r = optim.stochastic_round_to_bf16(x, jax.random.PRNGKey(1))
+    r32 = np.asarray(r.astype(jnp.float32))
+    assert set(np.unique(r32)) <= {np.float32(1.0), np.float32(1.0 + 2.0**-7)}
+    frac_up = float((r32 > 1.0).mean())
+    assert abs(frac_up - 0.3) < 0.02, frac_up
+    np.testing.assert_allclose(r32.mean(), float(x[0]), rtol=3e-4)
+
+
+def test_bf16_nu_rtn_ratchets_sr_decays():
+    # the ADVICE-flagged failure mode: with b2=0.999 the per-step EMA decay
+    # is sub-ulp in bf16, so round-to-nearest storage can never decrease nu
+    # (ratchet); stochastic rounding tracks the decay in expectation.
+    import warnings
+
+    params = {"w": jnp.zeros((4096,), jnp.float32)}
+    zero_g = {"w": jnp.zeros((4096,), jnp.float32)}
+    big_g = {"w": jnp.ones((4096,), jnp.float32)}
+
+    def run(nu_sr, k_decay=400):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            opt = optim.scale_by_adam_moment_dtypes(
+                nu_dtype=jnp.bfloat16, nu_stochastic_rounding=nu_sr
+            )
+        state = opt.init(params)
+        upd = jax.jit(opt.update)
+        # build nu up with unit grads, then feed zero grads
+        for _ in range(50):
+            _, state = upd(big_g, state)
+        nu_peak = float(np.asarray(state.nu["w"].astype(jnp.float32)).mean())
+        for _ in range(k_decay):
+            _, state = upd(zero_g, state)
+        nu_end = float(np.asarray(state.nu["w"].astype(jnp.float32)).mean())
+        return nu_peak, nu_end
+
+    peak_rtn, end_rtn = run(nu_sr=False)
+    # RTN: decay rounds back every step -> nu is frozen at its peak
+    assert end_rtn == peak_rtn, (peak_rtn, end_rtn)
+
+    peak_sr, end_sr = run(nu_sr=True)
+    expected = peak_sr * 0.999**400  # ~0.67x
+    # SR: mean over 4096 elements tracks the true EMA closely
+    np.testing.assert_allclose(end_sr, expected, rtol=0.05)
+
+
+def test_bf16_nu_sr_deterministic_and_warns():
+    import warnings
+
+    params = _params()
+    a1, s1 = _run(optim.adam(1e-3, nu_dtype=jnp.bfloat16), params)
+    a2, s2 = _run(optim.adam(1e-3, nu_dtype=jnp.bfloat16), params)
+    for x, y in zip(jax.tree_util.tree_leaves((a1, s1)),
+                    jax.tree_util.tree_leaves((a2, s2))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        optim.scale_by_adam_moment_dtypes(
+            nu_dtype=jnp.bfloat16, nu_stochastic_rounding=False
+        )
+    assert any("ratchet" in str(x.message) for x in w)
+
+
 def _epoch_result(fusion_cfg, tc, n=8):
     from eeg_multimodal_tpu.data.datasets import epoch_indices
     from eeg_multimodal_tpu.models import fusion

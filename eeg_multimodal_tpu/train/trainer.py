@@ -70,10 +70,14 @@ class TrainConfig:
     adam_mu_dtype: str = "float32"
     # Adam second-moment storage dtype. "bfloat16" removes another
     # ~0.9 GB/step of the bandwidth-bound optimizer traffic (8 bytes/param
-    # of nu read+write -> 4); update math stays f32 (ops/optim.py). nu only
-    # reaches the update through sqrt(nu_hat)+eps, so storage rounding
-    # perturbs step size by ~2^-9 relative — far below the measured seed
-    # variance. f32 default = stock optax.adam, bit-identical trajectories.
+    # of nu read+write -> 4); update math stays f32 (ops/optim.py). The
+    # per-update perturbation through sqrt(nu_hat)+eps is ~2^-9 relative,
+    # but a bf16 nu is stored with STOCHASTIC rounding (ops/optim.py): with
+    # round-to-nearest the b2=0.999 EMA's sub-ulp per-step decay always
+    # rounds back and nu can only ratchet upward (AMSGrad-like shrinking
+    # steps). SR makes the stored EMA unbiased; the SR stream is
+    # deterministic per step count. f32 default = stock optax.adam,
+    # bit-identical trajectories.
     adam_nu_dtype: str = "float32"
     # Carry the compute-dtype (bf16) copy of the model params through the
     # epoch scan instead of re-casting the f32 master tree inside every
@@ -597,7 +601,8 @@ class Trainer:
         f1_best = cfg.f1_best_init
         best_record = None
         history = []
-        best_pending = False  # deferred best params not yet on disk
+        # deferred best params not yet on disk (None = nothing pending)
+        pending = {"params": None}
 
         def write_best(best_params):
             live = self.params
@@ -609,51 +614,91 @@ class Trainer:
             finally:
                 self.params = live
 
-        for epoch in range(start_epoch, cfg.epochs):
-            row = self.run_epoch(epoch, train_dev, test_dev, n_train, n_test, epsilon)
-            history.append(row)
-            rec = None
-            if recorder:
-                rec = recorder.epoch(
-                    epoch, row["train_loss"], row["train_acc"],
-                    row["test_loss"], row["test_acc"], row["f1"],
-                    row["time_cost"],
-                )
-            if row["f1"] > f1_best:
-                f1_best = row["f1"]
-                best_record = row
-                if model_path:
-                    if cfg.defer_best_checkpoint:
-                        # device-side copy (~0.5 s) instead of a full
-                        # device->host serialize per improvement (~35 s at
-                        # BERT-base over the device tunnel); the torch
-                        # checkpoint is written once after the loop — same
-                        # final artifact as the reference's per-improvement
-                        # torch.save (base_train.py:251)
-                        best_params = jax.tree_util.tree_map(
-                            jnp.array, self.params
-                        )
-                        best_pending = True
-                    else:
-                        ckpt.save_torch_checkpoint(
-                            model_path, self.export_params(), self.fusion_cfg
-                        )
-                if recorder and rec:
-                    recorder.best_record(rec)
-            # durability flush: a deferred best that has sat unwritten for
-            # defer_flush_epochs epochs goes to disk now, so preemption
-            # mid-run never loses more than one flush window of progress
-            if (
-                best_pending
-                and cfg.defer_flush_epochs
-                and (epoch + 1) % cfg.defer_flush_epochs == 0
-            ):
-                write_best(best_params)
-                best_pending = False
-            if epoch_end_hook is not None:
-                epoch_end_hook(epoch)
+        def flush_pending(*_args):
+            p, pending["params"] = pending["params"], None
+            if p is not None and model_path:
+                write_best(p)
 
-        if model_path and best_pending:
-            write_best(best_params)
+        # Durability for the deferred best checkpoint: the reference
+        # persists every improvement (base_train.py:251); deferral trades
+        # that for wall clock, so a process kill must not lose the pending
+        # best. atexit covers sys.exit/normal interpreter teardown; a
+        # SIGTERM handler (flush, then re-deliver with the previous
+        # disposition) covers `kill`/preemption. Handlers are only
+        # installable from the main thread — background sweep threads just
+        # keep the periodic flush window.
+        import atexit
+        import signal
+
+        atexit.register(flush_pending)
+        prev_term = None
+        try:
+            prev_term = signal.getsignal(signal.SIGTERM)
+
+            def _on_term(signum, frame):
+                flush_pending()
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_term if prev_term is not None else signal.SIG_DFL,
+                )
+                signal.raise_signal(signal.SIGTERM)
+
+            signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread
+            prev_term = None
+
+        try:
+            for epoch in range(start_epoch, cfg.epochs):
+                row = self.run_epoch(
+                    epoch, train_dev, test_dev, n_train, n_test, epsilon
+                )
+                history.append(row)
+                rec = None
+                if recorder:
+                    rec = recorder.epoch(
+                        epoch, row["train_loss"], row["train_acc"],
+                        row["test_loss"], row["test_acc"], row["f1"],
+                        row["time_cost"],
+                    )
+                if row["f1"] > f1_best:
+                    f1_best = row["f1"]
+                    best_record = row
+                    if model_path:
+                        if cfg.defer_best_checkpoint:
+                            # device-side copy (~0.5 s) instead of a full
+                            # device->host serialize per improvement (~35 s at
+                            # BERT-base over the device tunnel); the torch
+                            # checkpoint is written once after the loop — same
+                            # final artifact as the reference's per-improvement
+                            # torch.save (base_train.py:251)
+                            pending["params"] = jax.tree_util.tree_map(
+                                jnp.array, self.params
+                            )
+                        else:
+                            ckpt.save_torch_checkpoint(
+                                model_path, self.export_params(), self.fusion_cfg
+                            )
+                    if recorder and rec:
+                        recorder.best_record(rec)
+                # durability flush: a deferred best that has sat unwritten for
+                # defer_flush_epochs epochs goes to disk now, so preemption
+                # mid-run never loses more than one flush window of progress
+                if (
+                    pending["params"] is not None
+                    and cfg.defer_flush_epochs
+                    and (epoch + 1) % cfg.defer_flush_epochs == 0
+                ):
+                    flush_pending()
+                if epoch_end_hook is not None:
+                    epoch_end_hook(epoch)
+
+            flush_pending()
+        finally:
+            atexit.unregister(flush_pending)
+            if prev_term is not None:
+                try:
+                    signal.signal(signal.SIGTERM, prev_term)
+                except ValueError:
+                    pass
 
         return {"history": history, "best": best_record, "f1_best": f1_best}

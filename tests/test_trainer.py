@@ -244,3 +244,53 @@ def test_deferred_best_checkpoint_matches_best_epoch(tmp_path):
         np.asarray(loaded["classifier"]["kernel"], np.float32),
         want["classifier"]["kernel"], rtol=1e-6,
     )
+
+
+def test_pending_best_survives_sigterm(tmp_path):
+    """A deferred best checkpoint pending in device memory is flushed to
+    disk when the process is killed (SIGTERM handler in Trainer.fit), so
+    deferral never loses the reference's per-improvement durability
+    (base_train.py:251) to preemption."""
+    import signal
+    import subprocess
+    import sys
+
+    script = r"""
+import dataclasses, os, signal, sys
+sys.path.insert(0, %(tests_dir)r)
+import conftest  # CPU backend + compile cache
+from test_trainer import TINY_BERT, tiny_dataset
+from eeg_multimodal_tpu.models import fusion
+from eeg_multimodal_tpu.train.trainer import TrainConfig, Trainer
+
+fc = dataclasses.replace(
+    fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+)
+# f1_best_init=-1: epoch 1 always records a best; defer_flush_epochs=0:
+# the periodic flush never runs, only the signal path can save it
+tc = TrainConfig(batch_size=4, epochs=50, f1_best_init=-1.0,
+                 defer_best_checkpoint=True, defer_flush_epochs=0)
+tr = Trainer(fc, tc)
+
+def hook(epoch):
+    if epoch == 0:
+        print("KILLING", flush=True)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+tr.fit(tiny_dataset(8), tiny_dataset(6, seed=1), epsilon=1.0,
+       model_path=%(model_path)r, echo=False, epoch_end_hook=hook)
+print("UNREACHABLE", flush=True)
+""" % {"tests_dir": os.path.dirname(os.path.abspath(__file__)),
+       "model_path": str(tmp_path / "best_f1.pickle")}
+
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600)
+    assert "KILLING" in r.stdout, r.stdout + r.stderr
+    assert "UNREACHABLE" not in r.stdout, "SIGTERM did not terminate fit"
+    assert r.returncode == -signal.SIGTERM, (r.returncode, r.stderr[-2000:])
+    # the pending best was flushed by the handler before death
+    tr = make_trainer()
+    loaded = ckpt.load_torch_checkpoint(
+        str(tmp_path / "best_f1.pickle"), tr.fusion_cfg
+    )
+    assert "DP" in loaded

@@ -80,6 +80,17 @@ class FusionConfig:
     # epoch time is identical either way.
     fused_dp_kernel: Optional[bool] = None
 
+    def __post_init__(self):
+        # the fused kernel hardcodes the post-fix 1/log(...) eps_hat
+        # (ops/dp_pallas.py); silently combining it with the legacy pre-fix
+        # noise law would train under the wrong noise scale.
+        if self.prefix_eps_hat and self.fused_dp_kernel:
+            raise ValueError(
+                "fused_dp_kernel only implements the post-fix eps_hat "
+                "(1/log form); prefix_eps_hat=True requires the composed-op "
+                "path (fused_dp_kernel=False)."
+            )
+
     @property
     def use_fused_dp(self) -> bool:
         return bool(self.fused_dp_kernel)

@@ -395,16 +395,33 @@ def pretrain_finetune_mlm(
             emb_root, modal, "txt", "bert_bert_base_uncased", "train.pickle"
         )
         if os.path.exists(path):
-            corpus_dicts.append(D.load_bert_pickle(path))
+            tok = D.load_bert_pickle(path)
+            corpus_dicts.append(tok)
             csv_path = os.path.join(
                 data_root, "data", "processed", f"train_{modal}.csv"
             )
-            if row_reg_weight and os.path.exists(csv_path):
-                corpus_values.append(load_row_values(csv_path))
+            if row_reg_weight:
+                if not os.path.exists(csv_path):
+                    raise FileNotFoundError(
+                        f"row_reg_weight={row_reg_weight} requested but "
+                        f"{csv_path} is missing — the row-regression pretext "
+                        f"would silently train without its {modal} targets."
+                    )
+                vals = load_row_values(csv_path)
+                # per-modality alignment: a total-count match could hide two
+                # compensating per-modality mismatches, silently training the
+                # pretext on misaligned targets
+                assert vals.shape[0] == tok["input_ids"].shape[0], (
+                    f"{modal}: {vals.shape[0]} csv rows vs "
+                    f"{tok['input_ids'].shape[0]} token rows — train_{modal}"
+                    f".csv and the token pickle disagree"
+                )
+                corpus_values.append(vals)
     corpus_ids, corpus_mask = build_corpus(corpus_dicts)
     corpus_vals = corpus_vmask = None
     n_values = 0
-    if row_reg_weight and len(corpus_values) == len(corpus_dicts):
+    if row_reg_weight:
+        assert len(corpus_values) == len(corpus_dicts)
         corpus_vals, corpus_vmask = build_value_targets(corpus_values)
         n_values = corpus_vals.shape[1]
         assert corpus_vals.shape[0] == corpus_ids.shape[0], (

@@ -11,6 +11,8 @@ Subcommands:
   embed     — build the embedding tree             (ref get_embedding.py:137)
   process   — raw task txt -> processed CSVs       (ref process.py, data.sh)
   pretrain  — weights-free MLM pretrain + DP-MLD fine-tune (ACCURACY.md)
+  distill   — synthesize the missing train-side act CLIP embeddings from
+              the committed real test-side array (train/distill.py)
   predict   — evaluate a trained checkpoint; per-sample predictions CSV
 """
 from __future__ import annotations
@@ -93,6 +95,16 @@ def main(argv=None):
     sp.add_argument("tasks", nargs="+")
     sp.add_argument("--out", default="data/processed")
 
+    sp = sub.add_parser("distill")
+    sp.add_argument("--data_root", default=".",
+                    help="tree with data/processed CSVs + txt/EEG-img "
+                         "embedding pickles (copied into the output tree)")
+    sp.add_argument("--out", required=True, help="output data root")
+    sp.add_argument("--real_test_pickle", required=True,
+                    help="the committed REAL CLIP array of the test act "
+                         "rows, e.g. <ref>/feature/action/test_clip_v2.pickle")
+    sp.add_argument("--steps", type=int, default=4000)
+
     sp = sub.add_parser("pretrain")
     add_common(sp)
     sp.set_defaults(epochs=120)
@@ -127,6 +139,15 @@ def main(argv=None):
         from .data.process import process
 
         process(args.tasks, args.out)
+        return 0
+
+    if args.cmd == "distill":
+        from .train.distill import DistillConfig, build_distilled_act_tree
+
+        build_distilled_act_tree(
+            args.data_root, args.out, args.real_test_pickle,
+            cfg=DistillConfig(steps=args.steps),
+        )
         return 0
 
     if args.cmd == "pretrain":

@@ -83,8 +83,11 @@ def _probe_device(timeout_s: int = 180) -> bool:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and \
-            not _probe_device():
+    # probe unless the caller EXPLICITLY pinned the CPU backend: the remote
+    # TPU attachment can also be discovered via default backend selection
+    # (JAX_PLATFORMS unset), and a dead tunnel hangs jax.devices() forever
+    # either way. The subprocess probe is cheap.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _probe_device():
         print(json.dumps({
             "metric": "dpmld_flagship_train_steps_per_sec", "value": 0.0,
             "unit": "steps/sec", "vs_baseline": 0.0,
@@ -142,10 +145,12 @@ def main():
     # bf16 Adam moments: the optimizer update is the step's largest HBM
     # consumer (tools/roofline_step.py measures it AT its bandwidth bound),
     # and both moments only feed the update through f32 math after a cast-up
-    # (ops/optim.py), so bf16 storage halves their traffic at ~2^-9 relative
-    # step-size perturbation. Flagship-accuracy validation: a 1.0-sigma move
-    # at the noisiest frontier cell, within the measured seed distribution
-    # (ACCURACY.md item 14); accuracy tables stay on f32 moments.
+    # (ops/optim.py), so bf16 storage halves their traffic. nu is stored
+    # with stochastic rounding (ops/optim.py) so its EMA stays unbiased —
+    # round-to-nearest would ratchet it upward. Flagship-accuracy
+    # validation at the noisiest frontier cell lands within the measured
+    # seed distribution (ACCURACY.md item 14); accuracy tables stay on f32
+    # moments.
     # EEG_BENCH_MU_F32=1 / EEG_BENCH_NU_F32=1 restore f32 moments.
     mu = "float32" if os.environ.get("EEG_BENCH_MU_F32") else "bfloat16"
     nu = "float32" if os.environ.get("EEG_BENCH_NU_F32") else "bfloat16"

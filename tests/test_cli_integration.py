@@ -121,7 +121,9 @@ def test_pretrain_finetune_pipeline(data_tree):
 def test_pretrain_pipeline_row_regression(data_tree):
     """row_reg_weight wires the numeric-row targets through the pipeline:
     with the processed train CSV present the joint pretext trains; without
-    it the pipeline degrades gracefully to MLM-only."""
+    it, an explicitly-requested pretext must FAIL LOUDLY (silently training
+    MLM-only would deviate from what the caller asked for), while
+    row_reg_weight=0 still runs MLM-only."""
     from test_trainer import TINY_BERT
 
     from eeg_multimodal_tpu.train.mlm import pretrain_finetune_mlm
@@ -142,13 +144,21 @@ def test_pretrain_pipeline_row_regression(data_tree):
     assert np.isfinite(result["history"][0]["train_loss"])
     assert (out / "logs" / "demo" / "DPMLD" / "whole_record.txt").exists()
 
-    # no CSV -> graceful MLM-only (act modality has no txt pickle either)
+    # no CSV + row_reg_weight>0 -> loud failure, not a silent MLM-only run
     os.remove(data_tree / "data" / "processed" / "train_EEG.csv")
     out2 = data_tree / "run_reg_nocsv"
+    with pytest.raises(FileNotFoundError, match="row_reg_weight"):
+        pretrain_finetune_mlm(
+            str(data_tree), str(out2), mlm_steps=4, mlm_batch=4, epochs=1,
+            batch_size=4, learning_rate=1e-3, compute_dtype="float32",
+            bert_config=TINY_BERT, echo=False, row_reg_weight=1.0,
+        )
+
+    # row_reg_weight=0 with no CSV -> plain MLM-only pretext still runs
     result2 = pretrain_finetune_mlm(
         str(data_tree), str(out2), mlm_steps=4, mlm_batch=4, epochs=1,
         batch_size=4, learning_rate=1e-3, compute_dtype="float32",
-        bert_config=TINY_BERT, echo=False, row_reg_weight=1.0,
+        bert_config=TINY_BERT, echo=False, row_reg_weight=0.0,
     )
     assert np.isfinite(result2["history"][0]["train_loss"])
 

@@ -75,9 +75,9 @@ def _sr_cast_tree(tree, key):
     )
 
 
-# fixed seed for the second-moment SR stream: folded with the step count it
-# gives a deterministic-per-seed stream without threading a key through the
-# optax GradientTransformation API.
+# fixed base seed for the second-moment SR stream: folded with the run's
+# training seed and the step count it gives a deterministic-per-seed stream
+# without threading a key through the optax GradientTransformation API.
 _SR_SEED = 0x0DD5EED
 
 
@@ -89,6 +89,7 @@ def scale_by_adam_moment_dtypes(
     mu_dtype: Optional[jnp.dtype] = None,
     nu_dtype: Optional[jnp.dtype] = None,
     nu_stochastic_rounding: bool = True,
+    sr_seed: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """``optax.scale_by_adam`` with independently chosen storage dtypes for
     both moments. Update math runs in the gradient dtype (f32 in the trainer);
@@ -147,8 +148,15 @@ def scale_by_adam_moment_dtypes(
 
         new_updates = jax.tree_util.tree_map(adam_update, mu, nu)
         if nu_sr:
+            # fold the run's training seed in besides the step count so
+            # seed-sweep replicas draw INDEPENDENT rounding noise (perfectly
+            # correlated SR across replicas would understate seed-to-seed
+            # variance); still deterministic per (seed, step).
+            sr_base = jax.random.PRNGKey(_SR_SEED)
+            if sr_seed is not None:
+                sr_base = jax.random.fold_in(sr_base, sr_seed & 0x7FFFFFFF)
             nu_stored = _sr_cast_tree(
-                nu, jax.random.fold_in(jax.random.PRNGKey(_SR_SEED), count_inc)
+                nu, jax.random.fold_in(sr_base, count_inc)
             )
         else:
             nu_stored = _cast_tree(nu, nu_dtype)
@@ -170,11 +178,14 @@ def adam(
     mu_dtype: Optional[jnp.dtype] = None,
     nu_dtype: Optional[jnp.dtype] = None,
     nu_stochastic_rounding: bool = True,
+    sr_seed: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """Drop-in ``optax.adam`` with both moment dtypes configurable.
 
     Delegates to stock ``optax.adam`` when ``nu_dtype`` is None/f32 so the
     default path stays byte-for-byte the library implementation.
+    ``sr_seed`` (the run's training seed) decorrelates the stochastic-
+    rounding stream across seed-sweep replicas.
     """
     if nu_dtype is None or jnp.dtype(nu_dtype) == jnp.float32:
         return optax.adam(learning_rate, b1=b1, b2=b2, eps=eps,
@@ -182,7 +193,7 @@ def adam(
     return optax.chain(
         scale_by_adam_moment_dtypes(
             b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype, nu_dtype=nu_dtype,
-            nu_stochastic_rounding=nu_stochastic_rounding,
+            nu_stochastic_rounding=nu_stochastic_rounding, sr_seed=sr_seed,
         ),
         optax.scale(-learning_rate),
     )

@@ -241,8 +241,11 @@ def build_distilled_act_tree(
     ):
         src = os.path.join(data_root, sub)
         dst = os.path.join(out_tree, sub)
-        if os.path.isdir(src) and not os.path.isdir(dst):
-            shutil.copytree(src, dst)
+        if os.path.isdir(src):
+            # dirs_exist_ok: re-running into a stale --out tree must refresh
+            # the copied CSVs/pickles too, or the tree mixes old processed
+            # data with new act img pickles with no warning
+            shutil.copytree(src, dst, dirs_exist_ok=True)
     save_dir = os.path.join(out_tree, "data", "embedding", "act", "img", "clip_ViT_B_32")
     os.makedirs(save_dir, exist_ok=True)
     with open(os.path.join(save_dir, "train.pickle"), "wb") as f:

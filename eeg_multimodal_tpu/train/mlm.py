@@ -410,12 +410,14 @@ def pretrain_finetune_mlm(
                 vals = load_row_values(csv_path)
                 # per-modality alignment: a total-count match could hide two
                 # compensating per-modality mismatches, silently training the
-                # pretext on misaligned targets
-                assert vals.shape[0] == tok["input_ids"].shape[0], (
-                    f"{modal}: {vals.shape[0]} csv rows vs "
-                    f"{tok['input_ids'].shape[0]} token rows — train_{modal}"
-                    f".csv and the token pickle disagree"
-                )
+                # pretext on misaligned targets. ValueError (not assert) so
+                # the fail-loudly contract survives python -O.
+                if vals.shape[0] != tok["input_ids"].shape[0]:
+                    raise ValueError(
+                        f"{modal}: {vals.shape[0]} csv rows vs "
+                        f"{tok['input_ids'].shape[0]} token rows — train_"
+                        f"{modal}.csv and the token pickle disagree"
+                    )
                 corpus_values.append(vals)
     corpus_ids, corpus_mask = build_corpus(corpus_dicts)
     corpus_vals = corpus_vmask = None

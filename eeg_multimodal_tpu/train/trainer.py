@@ -124,6 +124,20 @@ class TrainConfig:
     # reference's per-improvement torch.save is always durable). 0 = never
     # flush before the end of fit().
     defer_flush_epochs: int = 20
+    # Evaluate every test batch in ONE vmapped call instead of a sequential
+    # lax.scan over batches. Eval has no cross-batch dependence (params are
+    # frozen and batches are independent — ref base_train.py:215-231 is a
+    # plain no_grad loop), so vmapping over the batch axis is a pure
+    # parallelization: per-batch PRNG keys are identical to the scan's
+    # (pre-split outside), and under the vmap-invariant threefry PRNG the
+    # results match the scan's — integer preds exactly, float reductions to
+    # ulp-level (batched matmuls may fuse differently; pinned by
+    # tests/test_trainer.py::test_eval_vmap_matches_scan). On the TPU this
+    # turns the 76 sequential batch-8 forwards of the 601-row eval epoch
+    # into one 608-row batched forward — the eval epoch stops being
+    # latency-bound. Under the non-vmap-invariant rbg PRNG the draws (not
+    # the distribution) differ from the scan's stream.
+    eval_vmap_batches: bool = True
 
 
 class StepFunctions:
@@ -142,7 +156,8 @@ class StepFunctions:
         nu_dtype = jnp.dtype(train_cfg.adam_nu_dtype)
         self.dp_opt = optax.adam(train_cfg.learning_rate)  # (1, F) leaf: tiny
         self.model_opt = optim.adam(
-            train_cfg.learning_rate, mu_dtype=mu_dtype, nu_dtype=nu_dtype
+            train_cfg.learning_rate, mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+            sr_seed=train_cfg.seed,
         )
         self._compute_dtype = jnp.dtype(train_cfg.compute_dtype)
         self._precast = (
@@ -461,8 +476,7 @@ class StepFunctions:
             n_batches, n_eval, -1
         )
 
-        def step(_, xs):
-            b_idx, w, sks = xs
+        def step(b_idx, w, sks):
             batch = gather_batch(data, b_idx)
 
             def one(k):
@@ -473,14 +487,22 @@ class StepFunctions:
             loss, (acc, pred, logits) = jax.vmap(one)(sks)
             # majority vote across repeats; mean loss/acc/score
             pred_maj = (pred.mean(axis=0) > 0.5).astype(pred.dtype)
-            return None, (
+            return (
                 loss.mean(), acc.mean(), pred_maj, batch["labels"],
                 logits[..., 1].mean(axis=0), w,
             )
 
-        _, (losses, accs, preds, labels, scores, ws) = jax.lax.scan(
-            step, None, (idx, weight, step_keys)
-        )
+        if self.train_cfg.eval_vmap_batches:
+            # no cross-batch dependence: run every batch in one vmapped
+            # forward (same per-batch keys as the scan — see the
+            # eval_vmap_batches field note)
+            (losses, accs, preds, labels, scores, ws) = jax.vmap(step)(
+                idx, weight, step_keys
+            )
+        else:
+            _, (losses, accs, preds, labels, scores, ws) = jax.lax.scan(
+                lambda _, xs: (None, step(*xs)), None, (idx, weight, step_keys)
+            )
         return (
             losses.mean(),
             accs.mean(),
@@ -488,6 +510,54 @@ class StepFunctions:
             labels.reshape(-1),
             scores.reshape(-1),
             ws.reshape(-1),
+        )
+
+    # -- multi-epoch cycle: K train+eval epochs in ONE device program -------
+    def _cycle(self, params, dp_os, model_os, train_data, test_data,
+               idx_all, w_all, train_keys, eidx, ew, eval_keys, epsilon):
+        """Scan K full (train epoch, eval epoch, device-side F1) cycles with
+        no host round-trip in between. The reference's epoch loop crosses the
+        host boundary 4+ times per epoch (base_train.py:175-255); over a
+        remote device attachment each crossing costs tunnel latency, so a
+        benchmark timed per-epoch measures the relay as much as the chip
+        (BENCH_r04 vs the recorded on-chip number — README Performance).
+        Scanning epochs on device amortizes ONE dispatch + fetch over K
+        epochs and makes the measured number attachment-immune."""
+
+        def body(carry, xs):
+            params, dp_os, model_os = carry
+            idx, w, kt, ke = xs
+            params, dp_os, model_os, tr_loss, tr_acc = self._train_epoch(
+                params, dp_os, model_os, train_data, idx, w, epsilon, kt
+            )
+            te_loss, te_acc, preds, labels, _, ws = self._eval_epoch(
+                params, test_data, eidx, ew, epsilon, ke
+            )
+            # the reference computes sklearn F1 on host each epoch
+            # (base_train.py:233); the cycle keeps that work, on device
+            f1 = M.f1_binary_jnp(labels.reshape(-1), preds.reshape(-1),
+                                 ws.reshape(-1))
+            return (params, dp_os, model_os), (
+                tr_loss, tr_acc, te_loss, te_acc, f1
+            )
+
+        (params, dp_os, model_os), outs = jax.lax.scan(
+            body, (params, dp_os, model_os),
+            (idx_all, w_all, train_keys, eval_keys),
+        )
+        return params, dp_os, model_os, outs
+
+    def cycle(self, params, dp_os, model_os, train_data, test_data,
+              idx_all, w_all, train_keys, eidx, ew, eval_keys, epsilon):
+        """K epochs of train+eval on device; returns (params, dp_os,
+        model_os, (tr_loss, tr_acc, te_loss, te_acc, f1) arrays of shape
+        (K,)). idx_all/w_all/train_keys/eval_keys carry a leading K axis."""
+        if not hasattr(self, "_cycle_jit"):
+            self._cycle_jit = jax.jit(self._cycle, donate_argnums=(0, 1, 2))
+        return self._cycle_jit(
+            params, dp_os, model_os, train_data, test_data,
+            idx_all, w_all, train_keys, eidx, ew, eval_keys,
+            jnp.asarray(epsilon, jnp.float32),
         )
 
     def train_epoch(self, params, dp_os, model_os, data, idx, weight, epsilon, key):
@@ -691,9 +761,12 @@ class Trainer:
                     flush_pending()
                 if epoch_end_hook is not None:
                     epoch_end_hook(epoch)
-
-            flush_pending()
         finally:
+            # flush inside finally so crash/KeyboardInterrupt paths persist
+            # the pending best too — not just clean completion and SIGTERM
+            # (a post-loop flush outside finally would be skipped on any
+            # unhandled exception, silently losing the deferred checkpoint)
+            flush_pending()
             atexit.unregister(flush_pending)
             if prev_term is not None:
                 try:

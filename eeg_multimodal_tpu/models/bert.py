@@ -111,13 +111,45 @@ def _layer_norm(params, x, eps):
 # Set False to force the einsum reference path.
 USE_FUSED_ATTENTION = True
 
+# Compute Q, K, V with ONE (H, 3H) matmul over concatenated projection
+# weights instead of three (H, H) matmuls. At the flagship's shapes
+# (B=8, S=80 -> 640 tokens) each projection matmul is ~4 us of MXU work, so
+# the encoder is op-count/latency-bound, not FLOP-bound (roofline: fwd at
+# 43% of its FLOP light); packing cuts 2 matmul dispatches per layer per
+# pass at the cost of one weight concat (~3.5 MB bf16/layer, fused into the
+# matmul read). Bitwise: the packed matmul computes identical dot products
+# per output column block, so q/k/v match the unpacked path exactly on TPU
+# (same K-dim reduction per column). The param tree keeps the torch-shaped
+# separate q/k/v entries (state-dict round trip untouched).
+PACKED_QKV = True
+
 
 def _self_attention(p, x, attn_bias, num_heads, attn_drop, key):
     B, S, H = x.shape
     D = H // num_heads
-    q = linear(p["query"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
-    k = linear(p["key"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
-    v = linear(p["value"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+    if PACKED_QKV:
+        w = jnp.concatenate(
+            [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]],
+            axis=1,
+        )
+        b = jnp.concatenate(
+            [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+        )
+        qkv = (
+            jnp.dot(x, w, preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION)
+            + b
+        ).astype(x.dtype)
+        q, k, v = (
+            qkv[..., i * H : (i + 1) * H]
+            .reshape(B, S, num_heads, D)
+            .transpose(0, 2, 1, 3)
+            for i in range(3)
+        )
+    else:
+        q = linear(p["query"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+        k = linear(p["key"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+        v = linear(p["value"], x).reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
 
     from ..ops import attention as fused
 

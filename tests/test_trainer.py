@@ -294,3 +294,103 @@ print("UNREACHABLE", flush=True)
         str(tmp_path / "best_f1.pickle"), tr.fusion_cfg
     )
     assert "DP" in loaded
+
+
+def test_eval_vmap_matches_scan():
+    """eval_vmap_batches runs every test batch in one vmapped forward; under
+    the vmap-invariant threefry PRNG it reproduces the sequential scan (same
+    pre-split per-batch keys, no cross-batch dependence): integer preds and
+    labels exactly, float reductions to ulp-level tolerance (batched matmuls
+    may fuse differently than sequential ones)."""
+    from eeg_multimodal_tpu.data.datasets import epoch_indices
+    from eeg_multimodal_tpu.train.trainer import StepFunctions
+
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    test = tiny_dataset(10, seed=1)
+    key = jax.random.PRNGKey(7)
+    params = fusion.init(key, fc)
+    eidx, ew = epoch_indices(key, len(test), 4, shuffle=False)
+    outs = []
+    for vmapped in (False, True):
+        tc = TrainConfig(batch_size=4, n_eval=2, eval_vmap_batches=vmapped)
+        steps = StepFunctions(fc, tc)
+        outs.append(steps.eval_epoch(
+            params, test.device_put(), eidx, ew, 0.1, key
+        ))
+    for a, b in zip(*outs):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_cycle_matches_sequential_epochs():
+    """StepFunctions.cycle (K epochs scanned on device, one dispatch) must
+    reproduce the per-epoch train_epoch/eval_epoch call sequence exactly —
+    it is the same program with the host round-trips removed."""
+    from eeg_multimodal_tpu.data.datasets import epoch_indices
+    from eeg_multimodal_tpu.train import metrics as M
+    from eeg_multimodal_tpu.train.trainer import StepFunctions
+
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"), bert_config=TINY_BERT
+    )
+    train, test = tiny_dataset(8), tiny_dataset(6, seed=1)
+    tc = TrainConfig(batch_size=4)
+    key = jax.random.PRNGKey(3)
+    K = 3
+
+    def epoch_inputs(e):
+        ek = jax.random.fold_in(key, e)
+        k1, k2 = jax.random.split(ek)
+        idx, w = epoch_indices(k1, len(train), 4)
+        return idx, w, k1, k2
+
+    eidx, ew = epoch_indices(key, len(test), 4, shuffle=False)
+
+    # sequential reference: fresh StepFunctions + state
+    steps = StepFunctions(fc, tc)
+    params = fusion.init(jax.random.PRNGKey(9), fc)
+    params0 = jax.tree_util.tree_map(jnp.copy, params)
+    dp_os, model_os = steps.init_opt_states(params)
+    seq = []
+    for e in range(K):
+        idx, w, k1, k2 = epoch_inputs(e)
+        params, dp_os, model_os, trl, tra = steps.train_epoch(
+            params, dp_os, model_os, train.device_put(), idx, w, 0.1, k1
+        )
+        tel, tea, preds, labels, _, ws = steps.eval_epoch(
+            params, test.device_put(), eidx, ew, 0.1, k2
+        )
+        f1 = M.f1_binary_jnp(
+            jnp.asarray(labels).reshape(-1), jnp.asarray(preds).reshape(-1),
+            jnp.asarray(ws).reshape(-1),
+        )
+        seq.append((float(trl), float(tra), float(tel), float(tea), float(f1)))
+    params_seq = params
+
+    # cycled: one call
+    ins = [epoch_inputs(e) for e in range(K)]
+    idx_all = jnp.stack([i[0] for i in ins])
+    w_all = jnp.stack([i[1] for i in ins])
+    tkeys = jnp.stack([i[2] for i in ins])
+    ekeys = jnp.stack([i[3] for i in ins])
+    steps2 = StepFunctions(fc, tc)
+    dp_os2, model_os2 = steps2.init_opt_states(params0)
+    params_cyc, _, _, outs = steps2.cycle(
+        params0, dp_os2, model_os2, train.device_put(), test.device_put(),
+        idx_all, w_all, tkeys, eidx, ew, ekeys, 0.1,
+    )
+    for e in range(K):
+        got = tuple(float(np.asarray(o[e])) for o in outs)
+        np.testing.assert_allclose(got, seq[e], rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_seq),
+        jax.tree_util.tree_leaves(params_cyc),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )

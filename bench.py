@@ -165,6 +165,8 @@ def main():
                      precast_params=precast)
     steps = StepFunctions(fc, tc)
 
+    import jax.numpy as jnp
+
     key = set_seed()
     params = fusion.init(key, fc)
     dp_os, model_os = steps.init_opt_states(params)
@@ -172,45 +174,118 @@ def main():
     test_dev = test.device_put()
     n_steps = -(-len(train) // BATCH)
 
-    def one_epoch(params, dp_os, model_os, epoch):
-        ek = jax.random.fold_in(key, epoch)
-        k1, k2 = jax.random.split(ek)
-        idx, w = epoch_indices(k1, len(train), BATCH)
-        params, dp_os, model_os, tr_loss, _ = steps.train_epoch(
-            params, dp_os, model_os, train_dev, idx, w, 0.1, k1
-        )
-        eidx, ew = epoch_indices(k2, len(test), BATCH, shuffle=False)
-        te = steps.eval_epoch(params, test_dev, eidx, ew, 0.1, k2)
-        # force VALUE fetches, not block_until_ready: on the axon remote
-        # attachment block_until_ready can return before device execution
-        # completes (see tools/roofline_step.py), which would let the eval
-        # spill into the next epoch's window
-        tr = float(np.asarray(tr_loss))
-        float(np.asarray(te[0]).sum())
-        return params, dp_os, model_os, tr
+    # ---- attachment-immune timed window -----------------------------------
+    # The timed unit is ONE dispatched program running K full train+eval
+    # epochs on device (StepFunctions.cycle), closed by a VALUE fetch of the
+    # per-epoch metrics. Per-epoch host round-trips over the remote (axon)
+    # tunnel cost 100-300 ms each, which put a ±10% "tunnel weather" band on
+    # the r02-r04 numbers (93-105 steps/s for the same program); amortizing
+    # one dispatch + one fetch over K epochs bounds that term at <2% and the
+    # number measures the chip, not the relay. (Value fetch, not
+    # block_until_ready: the latter can return before device execution
+    # completes on this attachment — see tools/roofline_step.py.)
+    K = int(os.environ.get("EEG_BENCH_EPOCHS_PER_CALL", "8"))
+    R = int(os.environ.get("EEG_BENCH_WINDOWS", "3"))
+    eidx, ew = epoch_indices(
+        jax.random.fold_in(key, 10**6), len(test), BATCH, shuffle=False
+    )
 
-    # warmup (compile)
-    params, dp_os, model_os, _ = one_epoch(params, dp_os, model_os, 0)
+    def cycle_inputs(e0):
+        idxs, ws, tks, eks = [], [], [], []
+        for e in range(e0, e0 + K):
+            ek = jax.random.fold_in(key, e)
+            k1, k2 = jax.random.split(ek)
+            idx, w = epoch_indices(k1, len(train), BATCH)
+            idxs.append(idx)
+            ws.append(w)
+            tks.append(k1)
+            eks.append(k2)
+        return (jnp.stack(idxs), jnp.stack(ws), jnp.stack(tks),
+                jnp.stack(eks))
+
+    def run_cycle(params, dp_os, model_os, e0):
+        ia, wa, tk, ek2 = cycle_inputs(e0)
+        return steps.cycle(
+            params, dp_os, model_os, train_dev, test_dev,
+            ia, wa, tk, eidx, ew, ek2, 0.1,
+        )
+
+    # warmup (compile + first K epochs)
+    params, dp_os, model_os, outs = run_cycle(params, dp_os, model_os, 0)
+    float(np.asarray(outs[0])[-1])
 
     times = []
-    for epoch in range(1, 4):
+    loss = None
+    for r in range(R):
         t0 = time.time()
-        params, dp_os, model_os, loss = one_epoch(params, dp_os, model_os, epoch)
+        params, dp_os, model_os, outs = run_cycle(
+            params, dp_os, model_os, K * (r + 1)
+        )
+        loss = float(np.asarray(outs[0])[-1])  # value fetch closes the window
         times.append(time.time() - t0)
     assert np.isfinite(loss), loss
 
-    epoch_time = float(np.median(times))
+    epoch_time = float(np.median(times)) / K
     steps_per_sec = n_steps / epoch_time
-    print(
-        json.dumps(
-            {
-                "metric": "dpmld_flagship_train_steps_per_sec",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/sec (301-step train + 76-step eval epoch, batch 8, bf16, 1 chip)",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "dpmld_flagship_train_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": (
+            "steps/sec (301-step train + 76-batch eval epoch incl. device-"
+            f"side F1, batch 8, bf16, 1 chip; {K}-epoch on-device windows)"
+        ),
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }
+
+    if os.environ.get("EEG_BENCH_BREAKDOWN"):
+        # one-line decomposition: eval epoch (vmapped, all batches in one
+        # forward) and the per-epoch dispatch tax the cycle removes
+        def eval_once():
+            return steps.eval_epoch(params, test_dev, eidx, ew, 0.1, key)[0]
+
+        np.asarray(eval_once())
+        ev = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(eval_once())
+            ev.append(time.time() - t0)
+        t_eval_call = float(np.median(ev))  # includes one dispatch+fetch
+
+        def legacy_epoch(params, dp_os, model_os, e):
+            ek = jax.random.fold_in(key, e)
+            k1, k2 = jax.random.split(ek)
+            idx, w = epoch_indices(k1, len(train), BATCH)
+            params, dp_os, model_os, trl, _ = steps.train_epoch(
+                params, dp_os, model_os, train_dev, idx, w, 0.1, k1
+            )
+            float(np.asarray(trl))
+            float(np.asarray(eval_once()))
+            return params, dp_os, model_os
+
+        base = K * (R + 1)
+        params, dp_os, model_os = legacy_epoch(params, dp_os, model_os, base)
+        lt = []
+        for e in range(3):
+            t0 = time.time()
+            params, dp_os, model_os = legacy_epoch(
+                params, dp_os, model_os, base + 1 + e
+            )
+            lt.append(time.time() - t0)
+        legacy_epoch_time = float(np.median(lt))
+        result["breakdown"] = {
+            "train_step_ms": round(
+                (epoch_time - t_eval_call) / n_steps * 1e3, 3
+            ),
+            "eval_epoch_ms": round(t_eval_call * 1e3, 1),
+            "dispatch_ms_per_epoch": round(
+                (legacy_epoch_time - epoch_time) * 1e3, 1
+            ),
+            "legacy_per_epoch_steps_per_sec": round(
+                n_steps / legacy_epoch_time, 1
+            ),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

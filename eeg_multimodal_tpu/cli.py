@@ -104,6 +104,9 @@ def main(argv=None):
                     help="the committed REAL CLIP array of the test act "
                          "rows, e.g. <ref>/feature/action/test_clip_v2.pickle")
     sp.add_argument("--steps", type=int, default=4000)
+    sp.add_argument("--fit_fraction", type=float, default=1.0,
+                    help="fit the deployed distiller on only this random "
+                         "fraction of the test pairs (leakage control)")
 
     sp = sub.add_parser("pretrain")
     add_common(sp)
@@ -117,6 +120,16 @@ def main(argv=None):
                     help="skip MLM; load encoder from this pickle")
     sp.add_argument("--row_reg_weight", type=float, default=0.0,
                     help="joint row-value-regression pretext weight")
+    sp.add_argument("--aug_factor", type=int, default=0,
+                    help="jittered corpus copies per row (0 = off)")
+    sp.add_argument("--aug_jitter", type=float, default=0.03,
+                    help="augmentation noise as a fraction of column std")
+    sp.add_argument("--whole_word", action="store_true",
+                    help="whole-number (word-level) corruption")
+    sp.add_argument("--clip_weight", type=float, default=0.0,
+                    help="cross-modal act-CLIP distillation pretext weight")
+    sp.add_argument("--dp_mode", default="lapacian_dropout",
+                    help="fine-tune regime (e.g. NDP)")
 
     sp = sub.add_parser("predict")
     add_common(sp)
@@ -146,7 +159,8 @@ def main(argv=None):
 
         build_distilled_act_tree(
             args.data_root, args.out, args.real_test_pickle,
-            cfg=DistillConfig(steps=args.steps),
+            cfg=DistillConfig(steps=args.steps,
+                              fit_fraction=args.fit_fraction),
         )
         return 0
 
@@ -160,6 +174,9 @@ def main(argv=None):
             batch_size=args.batch_size, learning_rate=args.learning_rate,
             compute_dtype=args.dtype, bert_ckpt=args.bert_ckpt,
             row_reg_weight=args.row_reg_weight,
+            aug_factor=args.aug_factor, aug_jitter=args.aug_jitter,
+            whole_word=args.whole_word, clip_weight=args.clip_weight,
+            dp_mode=args.dp_mode,
         )
         best = result["best"]
         if best:

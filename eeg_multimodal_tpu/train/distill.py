@@ -41,6 +41,13 @@ class DistillConfig:
     cosine_weight: float = 1.0  # weight of (1 - cos) next to the MSE term
     val_frac: float = 0.1
     seed: int = 0
+    # Leakage-sensitivity control (ACCURACY.md item 15 caveat): fit the
+    # DEPLOYED distiller on only this random fraction of the committed test
+    # pairs — the held-out remainder is never seen by any stage. If the
+    # downstream accuracy is insensitive to halving the fit set, the
+    # transductive use of test-split *inputs* is not what the numbers rest
+    # on. 1.0 = reference behavior (fit on all pairs).
+    fit_fraction: float = 1.0
 
 
 def _init_mlp(key, d_in: int, d_out: int, cfg: DistillConfig):
@@ -223,7 +230,20 @@ def build_distilled_act_tree(
     )
 
     distiller = CLIPDistiller(cfg)
-    params, metrics = distiller.fit(test_rows, test_clip, extra_rows=train_rows)
+    fit_rows, fit_clip = test_rows, test_clip
+    if cfg.fit_fraction < 1.0:
+        rng = np.random.RandomState(cfg.seed + 1)
+        n_fit = max(2, int(len(test_rows) * cfg.fit_fraction))
+        sel = rng.permutation(len(test_rows))[:n_fit]
+        fit_rows, fit_clip = test_rows[sel], test_clip[sel]
+        if echo:
+            print(
+                f"[distill] fit_fraction={cfg.fit_fraction}: fitting on "
+                f"{n_fit}/{len(test_rows)} test pairs (control run)",
+                flush=True,
+            )
+    params, metrics = distiller.fit(fit_rows, fit_clip, extra_rows=train_rows)
+    metrics["fit_fraction"] = float(cfg.fit_fraction)
     train_clip = np.asarray(distiller.predict(params, train_rows), np.float32)
     if echo:
         print(

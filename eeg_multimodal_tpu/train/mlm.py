@@ -48,6 +48,14 @@ class MLMConfig:
     # sequence, jointly with MLM, so [CLS] pooling is forced to carry the
     # full channel content the fusion head consumes downstream.
     row_reg_weight: float = 0.0
+    # Whole-number corruption: select corruption at WORD granularity so
+    # every wordpiece of a chosen number is corrupted together (a partially
+    # visible number lets the model copy digits instead of modeling the
+    # channel). Requires a word_start index array (train/pretext.py).
+    whole_word: bool = False
+    # Cross-modal distillation weight: cosine loss predicting the sample's
+    # act-CLIP embedding from the pooled output (train/pretext.py). 0 = off.
+    clip_weight: float = 0.0
     batch_size: int = 64
     learning_rate: float = 1e-4
     warmup_steps: int = 200
@@ -68,7 +76,8 @@ class MLMConfig:
 
 
 # -- MLM head (HF BertOnlyMLMHead semantics: dense -> gelu -> LN -> tied decoder)
-def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32, n_values: int = 0):
+def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32,
+              n_values: int = 0, n_clip: int = 0):
     H = config.hidden_size
     std = config.initializer_range
     k1, k2 = jax.random.split(key)
@@ -86,6 +95,13 @@ def head_init(key, config: bert_mod.BertConfig, dtype=jnp.float32, n_values: int
         head["reg"] = {
             "kernel": std * jax.random.normal(k2, (H, n_values), dtype),
             "bias": jnp.zeros((n_values,), dtype),
+        }
+    if n_clip:
+        # cross-modal distillation head (pretext only): pooled -> CLIP space
+        k3 = jax.random.fold_in(k2, 1)
+        head["clip"] = {
+            "kernel": std * jax.random.normal(k3, (H, n_clip), dtype),
+            "bias": jnp.zeros((n_clip,), dtype),
         }
     return head
 
@@ -114,8 +130,14 @@ def mlm_logits(bert_params, head, input_ids, attention_mask, config, dropout_key
     )[0]
 
 
-def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int):
-    """In-jit BERT masking. Returns (corrupted_ids, labels, select_mask)."""
+def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int,
+                word_start=None):
+    """In-jit BERT masking. Returns (corrupted_ids, labels, select_mask).
+
+    With ``cfg.whole_word`` and a ``word_start`` index array (B, S —
+    pretext.word_start_index), the selection/kind uniforms are gathered
+    from each word's FIRST wordpiece, so all pieces of a number share one
+    corruption decision (whole-number masking)."""
     k_sel, k_kind, k_rand = jax.random.split(key, 3)
     special = (
         (input_ids == cfg.cls_id)
@@ -123,8 +145,11 @@ def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int)
         | (attention_mask == 0)
     )
     r = jax.random.uniform(k_sel, input_ids.shape)
-    selected = (r < cfg.mask_prob) & ~special
     kind = jax.random.uniform(k_kind, input_ids.shape)
+    if cfg.whole_word and word_start is not None:
+        r = jnp.take_along_axis(r, word_start, axis=-1)
+        kind = jnp.take_along_axis(kind, word_start, axis=-1)
+    selected = (r < cfg.mask_prob) & ~special
     use_mask = kind < cfg.mask_token_frac
     use_rand = (kind >= cfg.mask_token_frac) & (
         kind < cfg.mask_token_frac + cfg.random_token_frac
@@ -136,13 +161,17 @@ def mask_tokens(key, input_ids, attention_mask, cfg: MLMConfig, vocab_size: int)
 
 
 def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key,
-             train: bool = True, values=None, value_mask=None):
+             train: bool = True, values=None, value_mask=None,
+             word_start=None, clip_targets=None):
     """MLM cross-entropy, plus cfg.row_reg_weight x masked MSE of the
     standardized row values regressed from the pooled output when ``values``
-    (B, V) and ``value_mask`` (B, V) are given."""
+    (B, V) and ``value_mask`` (B, V) are given, plus cfg.clip_weight x
+    cosine distance to ``clip_targets`` (B, 512) predicted from the pooled
+    output (cross-modal distillation pretext, train/pretext.py)."""
     k_mask, k_drop = jax.random.split(key)
     corrupted, labels, selected = mask_tokens(
-        k_mask, batch_ids, batch_mask, cfg, bert_cfg.vocab_size
+        k_mask, batch_ids, batch_mask, cfg, bert_cfg.vocab_size,
+        word_start=word_start,
     )
     logits, pooled = mlm_outputs(
         bert_params, head, corrupted, batch_mask, bert_cfg,
@@ -157,6 +186,14 @@ def mlm_loss(bert_params, head, batch_ids, batch_mask, bert_cfg, cfg, key,
         vm = value_mask.astype(jnp.float32)
         mse = (jnp.square(pred - values) * vm).sum() / jnp.maximum(vm.sum(), 1.0)
         loss = loss + cfg.row_reg_weight * mse
+    if clip_targets is not None and cfg.clip_weight:
+        pred_c = linear(head["clip"], pooled).astype(jnp.float32)
+        tgt = clip_targets.astype(jnp.float32)
+        cos = (pred_c * tgt).sum(-1) / (
+            jnp.linalg.norm(pred_c, axis=-1) * jnp.linalg.norm(tgt, axis=-1)
+            + 1e-8
+        )
+        loss = loss + cfg.clip_weight * jnp.mean(1.0 - cos)
     return loss
 
 
@@ -170,6 +207,7 @@ class MLMPretrainer:
         bert_params=None,
         dtype=jnp.float32,
         n_values: int = 0,
+        n_clip: int = 0,
     ):
         self.bert_cfg = bert_cfg
         self.cfg = cfg
@@ -178,7 +216,8 @@ class MLMPretrainer:
         self.bert_params = (
             bert_params if bert_params is not None else bert_mod.init(k_bert, bert_cfg, dtype)
         )
-        self.head = head_init(k_head, bert_cfg, dtype, n_values=n_values)
+        self.head = head_init(k_head, bert_cfg, dtype, n_values=n_values,
+                              n_clip=n_clip)
         warmup = min(cfg.warmup_steps, max(1, cfg.total_steps // 2))
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, warmup, cfg.total_steps
@@ -188,18 +227,20 @@ class MLMPretrainer:
         self._chunk = None
 
     def _make_chunk(self, corpus_ids, corpus_mask, corpus_vals=None,
-                    corpus_val_mask=None):
+                    corpus_val_mask=None, corpus_word_start=None,
+                    corpus_clip=None):
         cfg, bert_cfg, opt = self.cfg, self.bert_cfg, self.opt
         compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-        def loss_fn(params, b_ids, b_mask, b_vals, b_vmask, key):
+        def loss_fn(params, b_ids, b_mask, b_vals, b_vmask, b_ws, b_clip, key):
             if compute_dtype != jnp.float32:
                 from ..utils.trees import tree_cast
 
                 params = tree_cast(params, compute_dtype)
             return mlm_loss(
                 params["bert"], params["head"], b_ids, b_mask, bert_cfg, cfg,
-                key, values=b_vals, value_mask=b_vmask,
+                key, values=b_vals, value_mask=b_vmask, word_start=b_ws,
+                clip_targets=b_clip,
             )
 
         @jax.jit
@@ -218,8 +259,14 @@ class MLMPretrainer:
                 b_vmask = (
                     corpus_val_mask[idx] if corpus_val_mask is not None else None
                 )
+                b_ws = (
+                    corpus_word_start[idx]
+                    if corpus_word_start is not None else None
+                )
+                b_clip = corpus_clip[idx] if corpus_clip is not None else None
                 loss, g = jax.value_and_grad(loss_fn)(
-                    params, b_ids, b_mask, b_vals, b_vmask, k_loss
+                    params, b_ids, b_mask, b_vals, b_vmask, b_ws, b_clip,
+                    k_loss,
                 )
                 upd, opt_state = opt.update(g, opt_state, params)
                 params = optax.apply_updates(params, upd)
@@ -234,19 +281,29 @@ class MLMPretrainer:
 
     def fit(self, corpus_ids: np.ndarray, corpus_mask: np.ndarray, echo: bool = True,
             corpus_vals: Optional[np.ndarray] = None,
-            corpus_val_mask: Optional[np.ndarray] = None):
+            corpus_val_mask: Optional[np.ndarray] = None,
+            corpus_word_start: Optional[np.ndarray] = None,
+            corpus_clip: Optional[np.ndarray] = None):
         """Run cfg.total_steps MLM steps; returns (bert_params, history).
 
         ``corpus_vals``/``corpus_val_mask`` (N, V): standardized row values
-        + validity mask for the row-regression pretext (cfg.row_reg_weight)."""
+        + validity mask for the row-regression pretext (cfg.row_reg_weight).
+        ``corpus_word_start`` (N, S): word-start index for whole-number
+        corruption (cfg.whole_word). ``corpus_clip`` (N, 512): act-CLIP
+        targets for the cross-modal pretext (cfg.clip_weight)."""
         cfg = self.cfg
         ids_dev = jax.device_put(jnp.asarray(corpus_ids, jnp.int32))
         mask_dev = jax.device_put(jnp.asarray(corpus_mask, jnp.int32))
-        vals_dev = vmask_dev = None
+        vals_dev = vmask_dev = ws_dev = clip_dev = None
         if corpus_vals is not None and cfg.row_reg_weight:
             vals_dev = jax.device_put(jnp.asarray(corpus_vals, jnp.float32))
             vmask_dev = jax.device_put(jnp.asarray(corpus_val_mask, jnp.float32))
-        run_chunk = self._make_chunk(ids_dev, mask_dev, vals_dev, vmask_dev)
+        if corpus_word_start is not None and cfg.whole_word:
+            ws_dev = jax.device_put(jnp.asarray(corpus_word_start, jnp.int32))
+        if corpus_clip is not None and cfg.clip_weight:
+            clip_dev = jax.device_put(jnp.asarray(corpus_clip, jnp.float32))
+        run_chunk = self._make_chunk(ids_dev, mask_dev, vals_dev, vmask_dev,
+                                     ws_dev, clip_dev)
         params = {"bert": self.bert_params, "head": self.head}
         key = jax.random.PRNGKey(cfg.seed + 1)
         history = []
@@ -356,6 +413,11 @@ def pretrain_finetune_mlm(
     bert_config: Optional[bert_mod.BertConfig] = None,
     echo: bool = True,
     row_reg_weight: float = 0.0,
+    aug_factor: int = 0,
+    aug_jitter: float = 0.03,
+    whole_word: bool = False,
+    clip_weight: float = 0.0,
+    dp_mode: str = "lapacian_dropout",
 ):
     """The weights-free accuracy-parity pipeline (ACCURACY.md §4-5):
     domain MLM pretraining on the train split's serialized sensor rows, then
@@ -387,41 +449,69 @@ def pretrain_finetune_mlm(
     test = job._load_split("test", "ti", "bert", "bert-base-uncased", "clip", "ViT-B/32")
     train, test = D.truncate_pair(train, test)
 
+    from . import pretext
+
     emb_root = os.path.join(data_root, "data", "embedding")
     corpus_dicts = []
     corpus_values = []  # per-modality numeric rows for the regression pretext
+    per_modal_counts = []
     for modal in ("EEG", "act"):  # both modalities' serialized texts
         path = os.path.join(
             emb_root, modal, "txt", "bert_bert_base_uncased", "train.pickle"
         )
         if os.path.exists(path):
             tok = D.load_bert_pickle(path)
-            corpus_dicts.append(tok)
             csv_path = os.path.join(
                 data_root, "data", "processed", f"train_{modal}.csv"
             )
-            if row_reg_weight:
-                if not os.path.exists(csv_path):
-                    raise FileNotFoundError(
-                        f"row_reg_weight={row_reg_weight} requested but "
-                        f"{csv_path} is missing — the row-regression pretext "
-                        f"would silently train without its {modal} targets."
-                    )
-                vals = load_row_values(csv_path)
+            need_rows = bool(row_reg_weight) or aug_factor > 0
+            if need_rows and not os.path.exists(csv_path):
+                raise FileNotFoundError(
+                    f"row_reg_weight/aug_factor requested but {csv_path} is "
+                    f"missing — the pretext would silently train without "
+                    f"its {modal} rows."
+                )
+            vals = load_row_values(csv_path) if need_rows else None
+            if vals is not None and vals.shape[0] != tok["input_ids"].shape[0]:
                 # per-modality alignment: a total-count match could hide two
                 # compensating per-modality mismatches, silently training the
                 # pretext on misaligned targets. ValueError (not assert) so
                 # the fail-loudly contract survives python -O.
-                if vals.shape[0] != tok["input_ids"].shape[0]:
-                    raise ValueError(
-                        f"{modal}: {vals.shape[0]} csv rows vs "
-                        f"{tok['input_ids'].shape[0]} token rows — train_"
-                        f"{modal}.csv and the token pickle disagree"
-                    )
+                raise ValueError(
+                    f"{modal}: {vals.shape[0]} csv rows vs "
+                    f"{tok['input_ids'].shape[0]} token rows — train_"
+                    f"{modal}.csv and the token pickle disagree"
+                )
+            if aug_factor > 0:
+                # corpus augmentation (pretext.py): jittered integer copies
+                # of every row, serialized + tokenized with the exact
+                # embedding-pipeline path. The MLM-budget ablation showed
+                # the 2x2402-row corpus overfits with more steps; this
+                # manufactures in-distribution data instead.
+                aug = pretext.augment_rows(
+                    vals, aug_factor, aug_jitter,
+                    seed=0xA06 + (0 if modal == "EEG" else 1),
+                )
+                aug_tok = pretext.tokenize_rows(
+                    aug, max_len=tok["input_ids"].shape[1]
+                )
+                tok = {
+                    "input_ids": np.concatenate(
+                        [tok["input_ids"], aug_tok["input_ids"]]
+                    ),
+                    "attention_mask": np.concatenate(
+                        [tok["attention_mask"], aug_tok["attention_mask"]]
+                    ),
+                }
+                if row_reg_weight:
+                    vals = np.concatenate([vals, aug])
+            corpus_dicts.append(tok)
+            per_modal_counts.append(tok["input_ids"].shape[0])
+            if row_reg_weight:
                 corpus_values.append(vals)
     corpus_ids, corpus_mask = build_corpus(corpus_dicts)
-    corpus_vals = corpus_vmask = None
-    n_values = 0
+    corpus_vals = corpus_vmask = corpus_ws = corpus_clip = None
+    n_values = n_clip = 0
     if row_reg_weight:
         assert len(corpus_values) == len(corpus_dicts)
         corpus_vals, corpus_vmask = build_value_targets(corpus_values)
@@ -429,6 +519,22 @@ def pretrain_finetune_mlm(
         assert corpus_vals.shape[0] == corpus_ids.shape[0], (
             "value rows misaligned with token rows"
         )
+    if whole_word:
+        # word-start index from FULL-vocab ids (pre-compaction), truncated
+        # to the corpus length (start indices only point backwards)
+        cont = pretext.continuation_id_set()
+        ws_full = np.concatenate(
+            [
+                pretext.word_start_index(np.asarray(d["input_ids"]), cont)
+                for d in corpus_dicts
+            ]
+        )
+        corpus_ws = ws_full[:, : corpus_ids.shape[1]]
+    if clip_weight:
+        clip_train = pretext.load_act_clip_targets(data_root)
+        corpus_clip = pretext.stack_clip_targets(per_modal_counts, clip_train)
+        n_clip = corpus_clip.shape[1]
+        assert corpus_clip.shape[0] == corpus_ids.shape[0]
 
     # vocab over the MLM corpus AND both splits' token streams: on the
     # committed data test ids are a subset of train's, but a user tree may
@@ -455,12 +561,14 @@ def pretrain_finetune_mlm(
             batch_size=mlm_batch, learning_rate=mlm_lr, total_steps=mlm_steps,
             warmup_steps=max(50, mlm_steps // 20), mask_id=vocab.mask_id,
             cls_id=vocab.cls_id, sep_id=vocab.sep_id, pad_id=vocab.pad_id,
-            row_reg_weight=row_reg_weight,
+            row_reg_weight=row_reg_weight, whole_word=whole_word,
+            clip_weight=clip_weight,
         )
-        pre = MLMPretrainer(bert_cfg, cfg, n_values=n_values)
+        pre = MLMPretrainer(bert_cfg, cfg, n_values=n_values, n_clip=n_clip)
         bert_params, history = pre.fit(
             corpus_ids, corpus_mask, echo=echo,
             corpus_vals=corpus_vals, corpus_val_mask=corpus_vmask,
+            corpus_word_start=corpus_ws, corpus_clip=corpus_clip,
         )
         save_pytree(os.path.join(out_root, "bert_mlm.pickle"), bert_params)
         with open(os.path.join(out_root, "mlm_history.json"), "w") as f:
@@ -468,7 +576,7 @@ def pretrain_finetune_mlm(
 
     job.bert_params = bert_params
     return job.train_on(
-        train, test, "demo", path_suffix, "ti", "lapacian_dropout",
+        train, test, "demo", path_suffix, "ti", dp_mode,
         epsilon=epsilon, bert_config=bert_cfg,
         # data/bert_params are already compact-remapped above; handing the
         # vocab to the Trainer makes the exported best_f1.pickle scatter the

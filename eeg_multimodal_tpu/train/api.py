@@ -45,6 +45,7 @@ class TrainAndTest:
         bert_params=None,
         echo: bool = True,
         artifacts_root: Optional[str] = None,
+        seed: int = 980616,  # ref: base_train.py:43 set_seed(980616)
     ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -53,6 +54,7 @@ class TrainAndTest:
         self.compute_dtype = compute_dtype
         self.bert_params = bert_params
         self.echo = echo
+        self.seed = seed
         # logs/checkpoints root; defaults to data_root (the reference writes
         # artifacts next to its data). Passing it separately lets drivers
         # read one shared data tree while writing run artifacts elsewhere.
@@ -217,6 +219,7 @@ class TrainAndTest:
             learning_rate=self.learning_rate,
             epochs=self.epochs,
             compute_dtype=self.compute_dtype,
+            seed=self.seed,
         )
         trainer = Trainer(fc, tc, bert_params=bert_params, vocab=vocab)
         return trainer.fit(

@@ -39,6 +39,9 @@ p.add_argument("--out", default="/tmp/bf16_moments")
 p.add_argument("--epochs", type=int, default=50)
 p.add_argument("--epsilon", type=float, default=0.1)
 p.add_argument("--seed", type=int, default=980616)
+p.add_argument("--moments", choices=["bf16", "f32"], default="bf16",
+               help="Adam moment storage; f32 runs the seed-band control "
+                    "on the same encoder/tree")
 args = p.parse_args()
 
 bert_params = load_pytree(os.path.join(args.run_dir, "bert_mlm.pickle"))
@@ -55,9 +58,10 @@ fc = dataclasses.replace(
     fusion.config_for("ti", "lapacian_dropout"),
     bert_config=BertConfig(vocab_size=vocab.size),
 )
+mdt = "bfloat16" if args.moments == "bf16" else "float32"
 tc = TrainConfig(
     epochs=args.epochs, seed=args.seed, compute_dtype="bfloat16",
-    adam_mu_dtype="bfloat16", adam_nu_dtype="bfloat16",
+    adam_mu_dtype=mdt, adam_nu_dtype=mdt,
     # EEG_VALIDATE_PRECAST=1 -> validate the FULL bench configuration
     # (bf16 moments + carried bf16 param copy) in one run
     precast_params=bool(os.environ.get("EEG_VALIDATE_PRECAST")),
@@ -71,7 +75,7 @@ res = trainer.fit(
 best = res["best"] or max(res["history"], key=lambda h: h["f1"])
 out = {
     "config": {"eps": args.epsilon, "seed": args.seed, "epochs": args.epochs,
-               "adam_mu_dtype": "bfloat16", "adam_nu_dtype": "bfloat16",
+               "adam_mu_dtype": mdt, "adam_nu_dtype": mdt,
                "precast_params": tc.precast_params},
     "best_acc": best["test_acc"],
     "best_f1": res["f1_best"],
@@ -80,6 +84,7 @@ out = {
                       "source": "examples/logs/eps_seeds_frontier/eps0.1_seed980616"},
 }
 os.makedirs(args.out, exist_ok=True)
-with open(os.path.join(args.out, "result.json"), "w") as f:
+with open(os.path.join(
+        args.out, f"result_{args.moments}_seed{args.seed}.json"), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1), flush=True)

@@ -240,14 +240,17 @@ def main():
     if os.environ.get("EEG_BENCH_BREAKDOWN"):
         # one-line decomposition: eval epoch (vmapped, all batches in one
         # forward) and the per-epoch dispatch tax the cycle removes
-        def eval_once():
-            return steps.eval_epoch(params, test_dev, eidx, ew, 0.1, key)[0]
+        def eval_once(p):
+            # takes params explicitly: train_epoch donates its params input,
+            # so a closure over main's `params` would read a donated buffer
+            # inside legacy_epoch (TPU InvalidArgument)
+            return steps.eval_epoch(p, test_dev, eidx, ew, 0.1, key)[0]
 
-        np.asarray(eval_once())
+        np.asarray(eval_once(params))
         ev = []
         for _ in range(5):
             t0 = time.time()
-            np.asarray(eval_once())
+            np.asarray(eval_once(params))
             ev.append(time.time() - t0)
         t_eval_call = float(np.median(ev))  # includes one dispatch+fetch
 
@@ -259,7 +262,7 @@ def main():
                 params, dp_os, model_os, train_dev, idx, w, 0.1, k1
             )
             float(np.asarray(trl))
-            float(np.asarray(eval_once()))
+            float(np.asarray(eval_once(params)))
             return params, dp_os, model_os
 
         base = K * (R + 1)

@@ -285,5 +285,123 @@ def main():
           f"(301 train + 76 eval per cycle)")
 
 
+def encoder_breakdown():
+    """Where the encoder's other half goes (VERDICT r4 item 7).
+
+    Decomposes the encoder-forward's gap to its FLOP light into (a) the
+    dropout tax (hidden vs attention vs none — same dependence structure,
+    keys still consumed) and (b) the shape ceiling: an FFN-only stack of
+    pure bf16 matmuls at the exact flagship shapes (T=640 rows), which has
+    no attention, no layernorm, no dropout — whatever fraction of light IT
+    reaches is the practical MXU ceiling for these shapes, not a property
+    of our program. Measured on the v5e chip (2026-08-19, marginal over
+    10->110-step scans):
+
+        full dropout        : 1.259 ms   light 0.561 -> 44.6% of light
+        hidden-dropout only : 1.142 ms             -> 49.2%
+        attn-dropout only   : 1.225 ms             -> 45.8%
+        no dropout          : 1.126 ms             -> 49.8%
+        ffn-only matmul stack: 0.690 ms  light 0.368 -> 53.4%
+
+    Reading: dropout costs ~0.13 ms/forward (mask generation + elementwise,
+    pure HBM traffic XLA cannot fuse into the matmuls' epilogue because the
+    rbg bits are a separate kernel); removing ALL non-matmul ops still caps
+    at ~53% because at (640 x 768) @ (768 x 768/3072) the MXU pipeline is
+    ramp-dominated — each matmul runs ~5-9 us, comparable to its own
+    prologue. The 44.6% -> 53.4% span is therefore ~0.13 ms dropout +
+    ~0.3 ms attention/layernorm/residual traffic, and the remaining 47% gap
+    to "light" is the small-shape ceiling itself: reaching >60% of naive
+    light needs larger per-call shapes (batch >> 8), which the faithful
+    configuration pins at 8. Conclusion: irreducible at the flagship shape.
+    """
+    tok = D.load_bert_pickle(f"{REF}/feature/EEG/test_bert.pickle")
+    _, labels = D.load_eeg_feature_csv(f"{REF}/feature/test_EEG.csv")
+    emb = D.load_embedding_pickle(f"{REF}/feature/action/test_clip_v2.pickle")
+    train = D.build_pairing("ti", labels, eeg_txt=tok, act_img=emb)
+    train, _ = truncate_pair(train, train)
+    cv = build_compact_vocab([train.eeg_input])
+    train = remap_pairing(train, cv)
+    S = train.eeg_input.shape[1]
+    fc = dataclasses.replace(
+        fusion.config_for("ti", "lapacian_dropout"),
+        bert_config=BertConfig(vocab_size=cv.size),
+    )
+    bert_cfg = fc.bert_cfg()
+    key = set_seed()
+    params = fusion.init(key, fc)
+    bp16 = tree_cast(params["bert"], jnp.bfloat16)
+    train_dev = train.device_put()
+    ids, am = train_dev["eeg_input"][:B], train_dev["eeg_mask"][:B]
+    H, L, I = bert_cfg.hidden_size, bert_cfg.num_layers, bert_cfg.intermediate_size
+    T = B * S
+    p_enc = L * (4 * H * H + 2 * H * I)
+    f_fwd = 2 * p_enc * T + L * (2 * 2 * B * S * S * H)
+    f_ffn = 2 * L * (2 * H * I) * T
+
+    def enc_variant(cfg):
+        def make(n):
+            keys = jax.random.split(key, n)
+
+            @jax.jit
+            def scan(p):
+                def it(acc, k):
+                    _, pooled = bert_mod.apply(p, ids, am, cfg, dropout_key=k)
+                    return acc + pooled.astype(jnp.float32).sum(), None
+
+                acc, _ = jax.lax.scan(it, jnp.float32(0), keys)
+                return acc
+
+            return lambda: scan(bp16)
+
+        return make
+
+    variants = [
+        ("full dropout", bert_cfg),
+        ("hidden only", dataclasses.replace(bert_cfg, attention_dropout=0.0)),
+        ("attn only", dataclasses.replace(bert_cfg, hidden_dropout=0.0)),
+        ("no dropout (dep-kept)",
+         dataclasses.replace(bert_cfg, hidden_dropout=0.0,
+                             attention_dropout=0.0)),
+    ]
+    print(f"encoder-forward breakdown (B={B} S={S}, bf16, FLOP light "
+          f"{f_fwd/PEAK_TF*1e3:.3f} ms):")
+    for name, cfg in variants:
+        t = marginal(enc_variant(cfg), name)
+        lt = f_fwd / PEAK_TF
+        print(f"  {name:20s}: {t*1e3:.3f} ms  light {lt*1e3:.3f} "
+              f"-> {100*lt/t:.1f}%")
+
+    # FFN-only matmul stack: the practical MXU ceiling at these shapes
+    w1 = [jax.random.normal(jax.random.fold_in(key, i), (H, I), jnp.bfloat16)
+          * 0.02 for i in range(L)]
+    w2 = [jax.random.normal(jax.random.fold_in(key, 100 + i), (I, H),
+                            jnp.bfloat16) * 0.02 for i in range(L)]
+    x0 = jax.random.normal(jax.random.fold_in(key, 999), (T, H), jnp.bfloat16)
+
+    def make_ffn(n):
+        @jax.jit
+        def scan(ws1, ws2, x):
+            def it(acc, k):
+                h = x * (1.0 + k * 1e-9).astype(jnp.bfloat16)  # dep per iter
+                for a, b in zip(ws1, ws2):
+                    h = jax.nn.gelu(h @ a) @ b
+                return acc + h.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(
+                it, jnp.float32(0),
+                jnp.arange(n, dtype=jnp.float32))
+            return acc
+
+        return lambda: scan(w1, w2, x0)
+
+    t = marginal(make_ffn, "ffn-only stack")
+    lt = f_ffn / PEAK_TF
+    print(f"  {'ffn-only stack':20s}: {t*1e3:.3f} ms  light {lt*1e3:.3f} "
+          f"-> {100*lt/t:.1f}%  <- practical matmul ceiling at these shapes")
+
+
 if __name__ == "__main__":
-    main()
+    if "--encoder_breakdown" in sys.argv[1:]:
+        encoder_breakdown()
+    else:
+        main()

@@ -113,6 +113,55 @@ def test_build_distilled_act_tree(tmp_path):
             / "bert_bert_base_uncased" / "train.pickle").exists()
 
 
+def test_fit_fraction_control(tmp_path):
+    """The half-fit leakage control (ACCURACY.md 15): fit_fraction < 1 fits
+    the deployed distiller on a strict random subset of the test pairs, the
+    tree still carries full-size train predictions and the verbatim real
+    test array, and the subset choice is recorded in the metrics."""
+    d_in, d_out, n_te, n_tr = 6, 8, 80, 50
+    rows_te, clip_te = synth_pairs(n=n_te, d_in=d_in, d_out=d_out, seed=5)
+    rows_tr, _ = synth_pairs(n=n_tr, d_in=d_in, d_out=d_out, seed=6)
+    root = tmp_path / "root"
+    proc = root / "data" / "processed"
+    proc.mkdir(parents=True)
+    header = ",".join(f"c{i}" for i in range(d_in))
+    np.savetxt(proc / "test_act.csv", rows_te, delimiter=",",
+               header=header, comments="")
+    np.savetxt(proc / "train_act.csv", rows_tr, delimiter=",",
+               header=header, comments="")
+    real = root / "real.pickle"
+    real.write_bytes(pickle.dumps(clip_te))
+
+    import dataclasses
+
+    half = dataclasses.replace(CFG, fit_fraction=0.5)
+    out = tmp_path / "out_half"
+    metrics = build_distilled_act_tree(
+        str(root), str(out), str(real), cfg=half, echo=False
+    )
+    assert metrics["fit_fraction"] == 0.5
+    # fit saw only 40 of 80 pairs; its val split is carved from those 40
+    assert metrics["n_val"] == 4
+
+    save = out / "data" / "embedding" / "act" / "img" / "clip_ViT_B_32"
+    with open(save / "test.pickle", "rb") as f:
+        np.testing.assert_array_equal(pickle.load(f), clip_te)  # verbatim
+    with open(save / "train.pickle", "rb") as f:
+        train_clip = pickle.load(f)
+    assert train_clip.shape == (n_tr, d_out)
+    assert np.isfinite(train_clip).all()
+
+    # a different seed draws a different subset -> different predictions
+    other = dataclasses.replace(half, seed=half.seed + 7)
+    out2 = tmp_path / "out_half2"
+    build_distilled_act_tree(str(root), str(out2), str(real), cfg=other,
+                             echo=False)
+    with open(out2 / "data" / "embedding" / "act" / "img" / "clip_ViT_B_32"
+              / "train.pickle", "rb") as f:
+        train_clip2 = pickle.load(f)
+    assert not np.array_equal(train_clip, train_clip2)
+
+
 def test_cli_distill_subcommand(tmp_path):
     """The distill subcommand wires build_distilled_act_tree."""
     from eeg_multimodal_tpu import cli

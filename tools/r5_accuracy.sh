@@ -50,8 +50,14 @@ phase_base() {
 phase_half() {
     is_done half && return 0
     log "P2b: half-fit-distiller control flagship (VERDICT #4)"
+    # Reuses base's MLM+row-reg encoder: the pretext consumes only the
+    # text side (mlm.py::pretrain_finetune_mlm loads act features only via
+    # --clip_weight), and the two distilled trees differ only in act img
+    # pickles — so the encoders are identical and the half arm isolates
+    # exactly the distiller-fit variable.
     python -m eeg_multimodal_tpu.cli pretrain --data_root $R5/tree_dist_half \
-        --out $R5/half --row_reg_weight 1.0 --mlm_steps 8000 \
+        --out $R5/half --row_reg_weight 1.0 \
+        --bert_ckpt $R5/base/bert_mlm.pickle \
         --epochs 120 > $R5/half.log 2>&1 || return 1
     tail -2 $R5/half.log
     done_marker half
@@ -59,7 +65,9 @@ phase_half() {
 
 phase_pretext() {
     # NDP pretext grid (VERDICT #3): each variant = pretrain + NDP finetune
-    for v in aug20 ww clip aug_ww_clip; do
+    # combined variant first: if the session ends mid-grid the most
+    # informative point (all three pretexts at the doubled budget) exists
+    for v in aug_ww_clip aug20 ww clip; do
         is_done "ndp_$v" && continue
         case $v in
             aug20)       X="--aug_factor 20";;
@@ -89,9 +97,13 @@ phase_pretext() {
 phase_sr() {
     is_done sr && return 0
     log "P4: SR/bf16-moment validation, 3 seeds x {bf16, f32} (VERDICT #2)"
+    # bf16 arm = the FULL bench configuration (bf16 SR moments + carried
+    # bf16 param copy); f32 arm = the clean seed-band control matching the
+    # frontier config of ACCURACY 13 (f32 moments, no precast).
     for seed in 980616 1 2; do
         for m in bf16 f32; do
-            EEG_VALIDATE_PRECAST=1 python tools/validate_bf16_moments.py \
+            PRECAST=""; [ "$m" = bf16 ] && PRECAST=1
+            EEG_VALIDATE_PRECAST=$PRECAST python tools/validate_bf16_moments.py \
                 --run_dir $R5/base --data_root $R5/tree_dist \
                 --out $R5/sr_validation --seed $seed --moments $m \
                 --epochs 50 >> $R5/sr.log 2>&1 || return 1
@@ -110,7 +122,7 @@ phase_modal3() {
     done_marker modal3
 }
 
-PHASES=${*:-"tree distill base half pretext sr modal3"}
+PHASES=${*:-"tree distill base half sr modal3 pretext"}
 for ph in $PHASES; do
     phase_$ph || { log "phase $ph FAILED"; exit 1; }
 done
